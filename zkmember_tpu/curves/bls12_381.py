@@ -1,0 +1,176 @@
+"""BLS12-381 curve family: fields, G1/G2, optimal-ate pairing (host side).
+
+All constants are *derived* from the BLS family polynomials with the single
+parameter x = -0xd201000000010000 and self-checked in tests, rather than
+copied: q = (x-1)^2 (x^4 - x^2 + 1)/3 + x,  r = x^4 - x^2 + 1.
+
+Capability parity: `ark-bls12-381` + the pairing-engine half of `ark-ec`
+(SURVEY.md section 2.2 row 2; reference use sites
+/root/reference/src/commitments/pedersen381/mod.rs:14 and main.rs).
+The pairing runs host-side: Groth16/Marlin verification is O(1) and
+millisecond-scale (report.pdf p6), so it does not belong on the TPU hot path.
+"""
+
+from __future__ import annotations
+
+from zkmember_tpu.fields.host import (
+    cubic_extension,
+    prime_field,
+    quadratic_extension,
+)
+from zkmember_tpu.curves.host import SWCurve
+
+# --- family parameter and derived moduli -----------------------------------
+X = -0xD201000000010000  # BLS parameter (64-bit, negative)
+
+R = X**4 - X**2 + 1  # scalar-field modulus r (255 bits, 2-adicity 32)
+Q = (X - 1) ** 2 * R // 3 + X  # base-field modulus q (381 bits)
+
+Fq = prime_field(Q, "Fq381")
+Fr = prime_field(R, "Fr381")
+
+# two-adicity data for NTT domains over Fr
+TWO_ADICITY = 32
+# smallest quadratic non-residue based generator: 7 generates Fr* (ark uses
+# GENERATOR = 7 for Fr of BLS12-381); 2^32-root = 7^((r-1)/2^32)
+FR_MULT_GEN = 7
+ROOT_OF_UNITY = pow(FR_MULT_GEN, (R - 1) >> TWO_ADICITY, R)
+
+# --- tower: Fq2 = Fq[u]/(u^2+1), Fq6 = Fq2[v]/(v^3 - (u+1)), Fq12 = Fq6[w]/(w^2 - v)
+Fq2 = quadratic_extension(Fq, Fq(-1), "Fq2_381")
+XI = Fq2(Fq(1), Fq(1))  # u + 1
+Fq6 = cubic_extension(Fq2, XI, "Fq6_381")
+Fq12 = quadratic_extension(
+    Fq6, Fq6(Fq2.zero(), Fq2.one(), Fq2.zero()), "Fq12_381"
+)  # w^2 = v
+
+
+def fq2(a: int, b: int) -> "Fq2":
+    return Fq2(Fq(a), Fq(b))
+
+
+# --- curves -----------------------------------------------------------------
+G1_GEN = (
+    Fq(0x17F1D3A73197D7942695638C4FA9AC0FC3688C4F9774B905A14E3A3F171BAC586C55E83FF97A1AEFFB3AF00ADB22C6BB),
+    Fq(0x08B3F481E3AAA0F1A09E30ED741D8AE4FCF5E095D5D00AF600DB18CB2C04B3EDD03CC744A2888AE40CAA232946C5E7E1),
+)
+G2_GEN = (
+    fq2(
+        0x024AA2B2F08F0A91260805272DC51051C6E47AD4FA403B02B4510B647AE3D1770BAC0326A805BBEFD48056C8C121BDB8,
+        0x13E02B6052719F607DACD3A088274F65596BD0D09920B61AB5DA61BBDC7F5049334CF11213945D57E5AC7D055D042B7E,
+    ),
+    fq2(
+        0x0CE5D527727D6E118CC9CDC6DA2E351AADFD9BAA8CBDD3A76D429A695160D12C923AC9CC3BACA289E193548608B82801,
+        0x0606C4A02EA734CC32ACD2B02BC28B99CB3E287E85A763AF267492AB572E99AB3F370D275CEC1DA1AAA9075FF05F79BE,
+    ),
+)
+
+G1 = SWCurve(Fq, Fq(0), Fq(4), G1_GEN, order=R, name="BLS12-381 G1")
+# G2 lives on the sextic twist E'/Fq2: y^2 = x^3 + 4(u+1)
+G2 = SWCurve(Fq2, Fq2.zero(), fq2(4, 4), G2_GEN, order=R, name="BLS12-381 G2")
+
+
+# --- pairing ----------------------------------------------------------------
+def _sparse_line(c0: "Fq2", c1: "Fq2", c2: "Fq2") -> "Fq12":
+    """Build the Fq12 element  c0 + c1*v + c2*v*w  (line function layout).
+
+    Derivation: the untwist psi(x,y) = (x w^-2, y w^-3) maps E' to E over
+    Fq12 (w^6 = u+1 = b'/b).  The line through psi(T) evaluated at P in G1,
+    scaled by the subfield-killed factor w^3, is
+        (lam x_T - y_T)  +  (-lam x_P) * w^2  +  y_P * w^3
+    with w^2 = v and w^3 = v*w in our tower.
+    """
+    A = Fq6(c0, c1, Fq2.zero())
+    B = Fq6(Fq2.zero(), c2, Fq2.zero())
+    return Fq12(A, B)
+
+
+def _line_eval(T, Q2, P):
+    """Line through twist points T (and Q2 for add; T=Q2 for double), at P.
+
+    Returns (line in Fq12, T') with all twist arithmetic in affine Fq2.
+    """
+    xP, yP = P
+    x1, y1 = T
+    x2, y2 = Q2
+    if T is Q2 or (x1 == x2 and y1 == y2):
+        lam = (x1.square() * 3) / y1.double()
+    else:
+        lam = (y2 - y1) / (x2 - x1)
+    x3 = lam.square() - x1 - x2
+    y3 = lam * (x1 - x3) - y1
+    c0 = lam * x1 - y1
+    c1 = Fq2(Fq(-1), Fq(0)) * lam * xP  # -lam * x_P embedded in Fq2
+    c2 = Fq2(yP, Fq(0))
+    return _sparse_line(c0, c1, c2), (x3, y3)
+
+
+def miller_loop(P, Q2) -> "Fq12":
+    """f_{|X|, Q2}(P) with the BLS conjugation for the negative parameter."""
+    if P is None or Q2 is None:
+        return Fq12.one()
+    u = -X  # positive 64-bit loop bound
+    f = Fq12.one()
+    T = Q2
+    for bit in bin(u)[3:]:  # MSB-first, skipping leading 1
+        line, T = _line_eval(T, T, P)
+        f = f.square() * line
+        if bit == "1":
+            line, T = _line_eval(T, Q2, P)
+            f = f * line
+    # X < 0: f <- conjugate(f)  (equals f^{q^6}; inversion up to the final exp)
+    return Fq12(f.coeffs[0], -f.coeffs[1])
+
+
+def final_exponentiation(f: "Fq12") -> "Fq12":
+    """f^((q^12-1)/r), easy part via Frobenius/conjugation + hard exponent.
+
+    Easy part: f^(q^6-1) = conj(f)/f, then f^(q^2+1) via Frobenius.
+    Hard part: plain exponentiation by (q^4 - q^2 + 1)/r (cyclotomic
+    fast-path is a later optimization; correctness is what matters here).
+    """
+    # f^(q^6) = conjugate in the w coordinate
+    f1 = Fq12(f.coeffs[0], -f.coeffs[1])
+    f = f1 * f.inv()  # f^(q^6 - 1)
+    f = frobenius_fq12(frobenius_fq12(f)) * f  # f^(q^2 + 1)
+    e_hard = (Q**4 - Q**2 + 1) // R
+    return f**e_hard
+
+
+# Frobenius constants: gamma_i = xi^(i (q-1)/6) for i in 1..5
+_FROB_GAMMA = [XI ** ((Q - 1) * i // 6) for i in range(6)]
+
+
+def _frob_fq2(a: "Fq2") -> "Fq2":
+    return a.conjugate()
+
+
+def frobenius_fq12(f: "Fq12") -> "Fq12":
+    """f^q using coefficient-wise Fq2 Frobenius and twist constants.
+
+    Layout: f = sum_{i<3} a_i v^i + w * sum_{i<3} b_i v^i, with v = w^2:
+    f = sum over basis w^k, k in 0..5 where coefficient of w^(2i) is a_i and
+    w^(2i+1) is b_i.  (c * w^k)^q = c^q * gamma_k * w^k with
+    gamma_k = xi^(k(q-1)/6).
+    """
+    A, B = f.coeffs
+    a = [_frob_fq2(c) * _FROB_GAMMA[2 * i] for i, c in enumerate(A.coeffs)]
+    b = [_frob_fq2(c) * _FROB_GAMMA[2 * i + 1] for i, c in enumerate(B.coeffs)]
+    return Fq12(Fq6(*a), Fq6(*b))
+
+
+def pairing(P, Q2) -> "Fq12":
+    """Optimal ate pairing e(P, Q2): G1 x G2 -> Fq12 (r-th roots of unity)."""
+    return final_exponentiation(miller_loop(P, Q2))
+
+
+def multi_miller_loop(pairs) -> "Fq12":
+    """Product of Miller loops (shared final exponentiation for verifiers)."""
+    f = Fq12.one()
+    for P, Q2 in pairs:
+        f = f * miller_loop(P, Q2)
+    return f
+
+
+def multi_pairing(pairs) -> "Fq12":
+    return final_exponentiation(multi_miller_loop(pairs))

@@ -1,0 +1,209 @@
+"""BW6-761: the 761-bit pairing-friendly outer curve (host side).
+
+All constants derived from the Brezing-Weng polynomials of
+El Housni-Guillevic ("Optimized and secure pairing-friendly elliptic curves
+suitable for one layer proof composition", 2020) at the BLS12-377 seed
+x = 0x8508c00000000001:
+
+    r  = q_{BLS12-377} = (x-1)^2 (x^4-x^2+1)/3 + x           (377 bits)
+    q  = (103x^12 - 379x^11 + 250x^10 + 691x^9 - 911x^8 - 79x^7 + 623x^6
+          - 640x^5 + 274x^4 + 763x^3 + 73x^2 + 254x + 229)/9  (761 bits)
+    t  = (13x^6 - 23x^5 - 9x^4 + 35x^3 + 10x + 22)/3          (trace)
+
+    E  : y^2 = x^3 - 1   over Fq   (G1; order q+1-t = h1 * r)
+    E' : y^2 = x^3 + 4   over Fq   (G2; the sextic twist, order q+1-t')
+
+Both groups live over the *base* field Fq — BW6's selling point — so G2 MSMs
+cost the same as G1 MSMs on device.  The pairing maps into Fq6 and runs on
+host via a Tate Miller loop (verification is O(1); report.pdf p6-7).
+
+Capability parity: `ark-bw6-761` + `ark-ec` pairing engine (SURVEY.md
+section 2.2 row 2; reference use site
+/root/reference/src/commitments/pedersen761/mod.rs:12).
+"""
+
+from __future__ import annotations
+
+import math
+
+from zkmember_tpu.fields.host import (
+    cubic_extension,
+    prime_field,
+    quadratic_extension,
+)
+from zkmember_tpu.curves.host import SWCurve
+
+# --- derived constants ------------------------------------------------------
+X = 0x8508C00000000001  # BLS12-377 seed
+
+R = (X - 1) ** 2 * (X**4 - X**2 + 1) // 3 + X  # = BLS12-377 q, 377 bits
+Q = (
+    103 * X**12 - 379 * X**11 + 250 * X**10 + 691 * X**9 - 911 * X**8
+    - 79 * X**7 + 623 * X**6 - 640 * X**5 + 274 * X**4 + 763 * X**3
+    + 73 * X**2 + 254 * X + 229
+) // 9
+TRACE = (13 * X**6 - 23 * X**5 - 9 * X**4 + 35 * X**3 + 10 * X + 22) // 3
+
+N1 = Q + 1 - TRACE  # |E(Fq)|
+assert N1 % R == 0
+H1 = N1 // R  # G1 cofactor
+
+# CM discriminant -3: t^2 - 4q = -3 f^2; the two sextic twists have traces
+# (t +- 3f)/2 and exactly one has order divisible by r.
+_F = math.isqrt((4 * Q - TRACE * TRACE) // 3)
+assert 3 * _F * _F == 4 * Q - TRACE * TRACE
+_T2_CANDS = [(TRACE + 3 * _F) // 2, (TRACE - 3 * _F) // 2]
+TRACE2 = next(t2 for t2 in _T2_CANDS if (Q + 1 - t2) % R == 0)
+N2 = Q + 1 - TRACE2  # |E'(Fq)|
+H2 = N2 // R  # G2 cofactor
+
+Fq = prime_field(Q, "FqBW6")
+Fr = prime_field(R, "FrBW6")
+
+# NTT data for Fr (= BLS12-377 Fq): 2-adicity 46, multiplicative generator.
+# ark-bls12-377 uses GENERATOR = -5 for Fq; any generator works for domain
+# construction — we derive one by search and verify order in tests.
+TWO_ADICITY = 46
+
+
+def _find_fr_generator() -> int:
+    # factor r-1 enough to test generatorhood cheaply: r-1 = 2^46 * m.
+    # We only need an element of maximal 2-adic order for NTT domains, plus
+    # full-order check via a few small prime factors.
+    m = (R - 1) >> TWO_ADICITY
+    g = 2
+    while True:
+        # necessary condition: g^((r-1)/2) != 1 (odd part makes it exact for
+        # the 2-part, which is what NTT needs)
+        if pow(g, (R - 1) // 2, R) != 1:
+            return g
+        g += 1
+
+
+FR_MULT_GEN = _find_fr_generator()
+ROOT_OF_UNITY = pow(FR_MULT_GEN, (R - 1) >> TWO_ADICITY, R)
+
+# --- curves -----------------------------------------------------------------
+B1 = Fq(-1)
+B2 = Fq(4)
+
+
+def _find_sw_generator(curve: SWCurve, cofactor: int):
+    """Deterministic generator: smallest x lifting to a point; clear cofactor."""
+    x = 1
+    while True:
+        pt = curve.lift_x(curve.field(x), y_parity=0)
+        if pt is not None:
+            g = curve.mul(cofactor, pt)
+            if g is not None:
+                return g
+        x += 1
+
+
+G1 = SWCurve(Fq, Fq(0), B1, order=R, cofactor=H1, name="BW6-761 G1")
+G2 = SWCurve(Fq, Fq(0), B2, order=R, cofactor=H2, name="BW6-761 G2")
+G1_GEN = _find_sw_generator(G1, H1)
+G2_GEN = _find_sw_generator(G2, H2)
+G1.generator = G1_GEN
+G2.generator = G2_GEN
+
+# --- Fq6 tower for the pairing ---------------------------------------------
+# Fq6 = Fq3[w]/(w^2 - v), Fq3 = Fq[v]/(v^3 - nu) with nu = -1/4, which is a
+# non-square non-cube in Fq (checked below), so x^6 - nu is irreducible and
+# w^6 = nu.  The untwist psi: E' -> E over Fq6 is (x, y) -> (x w^2, y w^3)
+# because w^6 * b2 = (-1/4) * 4 = -1 = b1 exactly.
+NU = Fq(-1) * Fq(4).inv()
+assert pow(NU.v, (Q - 1) // 2, Q) != 1, "nu must be a non-square"
+assert pow(NU.v, (Q - 1) // 3, Q) != 1, "nu must be a non-cube"
+
+Fq3 = cubic_extension(Fq, NU, "Fq3_BW6")
+Fq6 = quadratic_extension(Fq3, Fq3(Fq(0), Fq(1), Fq(0)), "Fq6_BW6")  # w^2 = v
+
+
+def _sparse_line(c0: "Fq", c1: "Fq", c2: "Fq") -> "Fq6":
+    """Fq6 element  c0 + c1 * v + c2 * v * w  (i.e. c0 + c1 w^2 + c2 w^3)."""
+    A = Fq3(c0, c1, Fq(0))
+    B = Fq3(Fq(0), c2, Fq(0))
+    return Fq6(A, B)
+
+
+def _tate_line(T, S, Q2aff):
+    """Line through G1 points T, S (T=S doubles) evaluated at psi(Q2aff).
+
+    Evaluation at psi(xQ, yQ) = (xQ w^2, yQ w^3):
+        l = yQ w^3 - y_T - lam (xQ w^2 - x_T)
+          = (lam x_T - y_T) + (-lam xQ) w^2 + yQ w^3
+    Vertical lines (S = -T) give l = xQ w^2 - x_T and the point at infinity.
+    Returns (line, T+S).
+    """
+    xQ, yQ = Q2aff
+    if T is None:
+        return Fq6.one(), S
+    if S is None:
+        return Fq6.one(), T
+    x1, y1 = T
+    x2, y2 = S
+    if x1 == x2 and (y1 + y2).is_zero():
+        return _sparse_line(-x1, xQ, Fq(0)), None
+    if x1 == x2 and y1 == y2:
+        lam = (x1.square() * 3) / y1.double()
+    else:
+        lam = (y2 - y1) / (x2 - x1)
+    x3 = lam.square() - x1 - x2
+    y3 = lam * (x1 - x3) - y1
+    return _sparse_line(lam * x1 - y1, -(lam * xQ), yQ), (x3, y3)
+
+
+def miller_loop(P, Q2) -> "Fq6":
+    """Tate Miller loop f_{r,P} evaluated at the untwisted G2 point."""
+    if P is None or Q2 is None:
+        return Fq6.one()
+    f = Fq6.one()
+    T = P
+    for bit in bin(R)[3:]:
+        line, T = _tate_line(T, T, Q2)
+        f = f.square() * line
+        if bit == "1":
+            line, T = _tate_line(T, P, Q2)
+            f = f * line
+    return f
+
+
+# Frobenius constants for Fq6: (c w^k)^q = c * nu^(k(q-1)/6) w^k  (c in Fq),
+# valid because q = 1 mod 6 for BW6-761.
+assert Q % 6 == 1
+_FROB_GAMMA = [NU ** ((Q - 1) * k // 6) for k in range(6)]
+
+
+def frobenius_fq6(f: "Fq6") -> "Fq6":
+    A, B = f.coeffs  # A = a0 + a1 v + a2 v^2, B * w likewise
+    a = [c * _FROB_GAMMA[2 * i] for i, c in enumerate(A.coeffs)]
+    b = [c * _FROB_GAMMA[2 * i + 1] for i, c in enumerate(B.coeffs)]
+    return Fq6(Fq3(*a), Fq3(*b))
+
+
+def final_exponentiation(f: "Fq6") -> "Fq6":
+    """f^((q^6-1)/r) = [(q^3-1)(q+1)] easy part, then (q^2-q+1)/r hard part."""
+    # f^(q^3): w^(q^3) = w * nu^((q^3-1)/6) with exponent odd multiple -> use
+    # three Frobenius applications for simplicity and correctness.
+    f3 = frobenius_fq6(frobenius_fq6(frobenius_fq6(f)))
+    f = f3 * f.inv()  # f^(q^3 - 1)
+    f = frobenius_fq6(f) * f  # f^(q + 1)
+    e_hard = (Q * Q - Q + 1) // R
+    return f**e_hard
+
+
+def pairing(P, Q2) -> "Fq6":
+    """Tate pairing e(P, Q2): G1 x G2 -> mu_r in Fq6."""
+    return final_exponentiation(miller_loop(P, Q2))
+
+
+def multi_miller_loop(pairs) -> "Fq6":
+    f = Fq6.one()
+    for P, Q2 in pairs:
+        f = f * miller_loop(P, Q2)
+    return f
+
+
+def multi_pairing(pairs) -> "Fq6":
+    return final_exponentiation(multi_miller_loop(pairs))
