@@ -1,0 +1,326 @@
+"""Device (TPU) elliptic-curve group kernels: batched, SoA limb-plane layout.
+
+TPU-native replacement for the `ark-ec` group-law surface the reference
+consumes (SURVEY.md section 2.2 row 2).  All functions are generic over a
+field-ops vtable (`FpOps` / `Fp2Ops` from zkmember_tpu.fields.device), so
+the same code drives:
+  * BLS12-381 G1 (a=0 short Weierstrass over Fq)
+  * BLS12-381 G2 (a=0 short Weierstrass over Fq2)
+  * BW6-761 G1/G2 (a=0 short Weierstrass over Fq, both over the base field)
+  * Jubjub / ed-on-bw6 (a=-1-style twisted Edwards, generic `a`)
+
+Layouts:
+  * SW points: Jacobian (X, Y, Z) tuples of field elements; Z == 0 encodes
+    the point at infinity.  Batched adds/doubles are fully data-parallel,
+    with the doubling / infinity special cases handled by masks (select),
+    never by control flow — XLA sees a single straight-line program.
+  * TE points: extended coordinates (X, Y, T, Z) with the unified complete
+    addition law, so no masks are needed at all (the reference's Pedersen
+    hash only ever adds subgroup points).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+
+# ---------------------------------------------------------------------------
+# short Weierstrass, a = 0 (all four pairing groups we ship have a = 0)
+# Jacobian coordinates: (X, Y, Z), affine = (X/Z^2, Y/Z^3), Z=0 => infinity.
+# ---------------------------------------------------------------------------
+
+
+def sw_infinity(F, shape=()):
+    return (F.zeros(shape), F.ones(shape), F.zeros(shape))
+
+
+def sw_is_infinity(F, P):
+    return F.is_zero(P[2])
+
+
+def sw_double(F, P):
+    """Jacobian doubling for a=0 (dbl-2009-l).  Infinity (Z=0) stays put."""
+    X, Y, Z = P
+    A = F.sqr(X)
+    B = F.sqr(Y)
+    C = F.sqr(B)
+    t = F.sqr(F.add(X, B))
+    D = F.double(F.sub(F.sub(t, A), C))  # 2((X+B)^2 - A - C)
+    E = F.add(F.double(A), A)  # 3A
+    G = F.sqr(E)
+    X3 = F.sub(G, F.double(D))
+    eight_c = F.double(F.double(F.double(C)))
+    Y3 = F.sub(F.mul(E, F.sub(D, X3)), eight_c)
+    Z3 = F.double(F.mul(Y, Z))
+    return (X3, Y3, Z3)
+
+
+def sw_add(F, P, Q):
+    """Complete batched Jacobian addition via masks (add-2007-bl + cases)."""
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    Z1Z1 = F.sqr(Z1)
+    Z2Z2 = F.sqr(Z2)
+    U1 = F.mul(X1, Z2Z2)
+    U2 = F.mul(X2, Z1Z1)
+    S1 = F.mul(Y1, F.mul(Z2, Z2Z2))
+    S2 = F.mul(Y2, F.mul(Z1, Z1Z1))
+    H = F.sub(U2, U1)
+    R = F.sub(S2, S1)
+
+    # generic case
+    HH = F.sqr(H)
+    HHH = F.mul(H, HH)
+    V = F.mul(U1, HH)
+    X3 = F.sub(F.sub(F.sqr(R), HHH), F.double(V))
+    Y3 = F.sub(F.mul(R, F.sub(V, X3)), F.mul(S1, HHH))
+    Z3 = F.mul(H, F.mul(Z1, Z2))
+    gen = (X3, Y3, Z3)
+
+    dbl = sw_double(F, P)
+
+    p_inf = F.is_zero(Z1)
+    q_inf = F.is_zero(Z2)
+    h_zero = F.is_zero(H)
+    r_zero = F.is_zero(R)
+    same = jnp.logical_and(h_zero, r_zero)  # P == Q -> double
+    opposite = jnp.logical_and(h_zero, jnp.logical_not(r_zero))  # P == -Q -> inf
+
+    def sel(c, a, b):
+        return F.select(c, a, b)
+
+    inf = sw_infinity(F, _batch_shape(F, X1))
+    outX = sel(same, dbl[0], gen[0])
+    outY = sel(same, dbl[1], gen[1])
+    outZ = sel(same, dbl[2], gen[2])
+    outX = sel(opposite, inf[0], outX)
+    outY = sel(opposite, inf[1], outY)
+    outZ = sel(opposite, inf[2], outZ)
+    # P at infinity -> Q; Q at infinity -> P (applied last, highest priority)
+    outX = sel(q_inf, X1, outX)
+    outY = sel(q_inf, Y1, outY)
+    outZ = sel(q_inf, Z1, outZ)
+    outX = sel(p_inf, X2, outX)
+    outY = sel(p_inf, Y2, outY)
+    outZ = sel(p_inf, Z2, outZ)
+    return (outX, outY, outZ)
+
+
+def sw_cond_add(F, P, Q, bit):
+    """P + Q where bit==1 else P.  bit: batch-shaped 0/1 array."""
+    S = sw_add(F, P, Q)
+    m = bit != 0
+    return (F.select(m, S[0], P[0]), F.select(m, S[1], P[1]), F.select(m, S[2], P[2]))
+
+
+def sw_neg(F, P):
+    return (P[0], F.neg(P[1]), P[2])
+
+
+def _batch_shape(F, x):
+    # field element batch dims (strip limb axis / use vtable helper)
+    if isinstance(x, tuple):
+        return x[0].shape[:-1]
+    return x.shape[:-1]
+
+
+def sw_scalar_mul(F, scalar_bits, P):
+    """Batched double-and-add: scalar_bits (B, nbits) MSB-first 0/1 uint32.
+
+    P: batched Jacobian point.  Scanned over bit columns, so the trace holds
+    one double + one masked add regardless of scalar width.
+    """
+    nbits = scalar_bits.shape[-1]
+    bits_t = jnp.moveaxis(scalar_bits, -1, 0)  # (nbits, B)
+    acc0 = sw_infinity(F, _batch_shape(F, P[0]))
+
+    def body(acc, bit):
+        acc = sw_double(F, acc)
+        acc = sw_cond_add(F, acc, P, bit)
+        return acc, None
+
+    acc, _ = lax.scan(body, acc0, bits_t)
+    return acc
+
+
+def sw_to_affine(F, P):
+    """Batch-normalize Jacobian -> affine (x, y, inf_mask)."""
+    X, Y, Z = P
+    zinv = F.inv(Z)  # inv(0) = 0 under Fermat -> infinity maps to (0, 0)
+    zinv2 = F.sqr(zinv)
+    x = F.mul(X, zinv2)
+    y = F.mul(Y, F.mul(zinv2, zinv))
+    return x, y, sw_is_infinity(F, P)
+
+
+def sw_tree_reduce(F, P):
+    """Sum a batch of Jacobian points along axis 0 via log2 rounds of adds.
+
+    P coords have shape (B, ..., n); B need not be a power of two.
+    Returns the total as a point with batch shape (...)."""
+    X, Y, Z = P
+    B = X.shape[0] if not isinstance(X, tuple) else X[0].shape[0]
+
+    def first_axis_len(c):
+        return c[0].shape[0] if isinstance(c, tuple) else c.shape[0]
+
+    def pad_to(c, m):
+        if isinstance(c, tuple):
+            return tuple(pad_to(ci, m) for ci in c)
+        pad = [(0, m - c.shape[0])] + [(0, 0)] * (c.ndim - 1)
+        return jnp.pad(c, pad)
+
+    m = 1
+    while m < B:
+        m *= 2
+    if m != B:
+        # pad with infinity: Z=0 rows; X/Y zeros are fine
+        X, Y, Z = pad_to(X, m), pad_to(Y, m), pad_to(Z, m)
+
+    def half(c):
+        if isinstance(c, tuple):
+            return tuple(half(ci) for ci in c)
+        return c
+
+    cur = (X, Y, Z)
+    size = m
+    while size > 1:
+        size //= 2
+
+        def take(c, lo, ln):
+            if isinstance(c, tuple):
+                return tuple(take(ci, lo, ln) for ci in c)
+            return c[lo : lo + ln]
+
+        left = tuple(take(c, 0, size) for c in cur)
+        right = tuple(take(c, size, size) for c in cur)
+        cur = sw_add(F, left, right)
+    return tuple(c[0] if not isinstance(c, tuple) else tuple(ci[0] for ci in c) for c in cur)
+
+
+def sw_msm(F, scalar_bits, P):
+    """Variable-base MSM: sum_i s_i * P_i.
+
+    scalar_bits: (B, nbits) MSB-first; P: batched Jacobian points (B, ...).
+    v1 strategy (see SURVEY.md section 7.3 item 3): fully batched per-point
+    double-and-add followed by a log2(B) Jacobian tree reduction — every
+    step is a B-wide VPU op.  Pippenger bucketing lands on top of this later.
+    """
+    per_point = sw_scalar_mul(F, scalar_bits, P)
+    return sw_tree_reduce(F, per_point)
+
+
+def sw_msm_bool(F, mask, P):
+    """MSM where every scalar is 0/1 — a single masked tree reduction.
+
+    This is the dominant MSM shape in Pedersen-hash circuits: most of the
+    Groth16 witness is Boolean (bit decompositions), so sum_i b_i * A_i
+    needs B point-adds total instead of 2*nbits*B (SURVEY.md section 7.3
+    item 5 — witness-structure-aware proving).
+    """
+    inf = sw_infinity(F, _batch_shape(F, P[0]))
+    m = mask != 0
+    sel = (
+        F.select(m, P[0], inf[0]),
+        F.select(m, P[1], inf[1]),
+        F.select(m, P[2], inf[2]),
+    )
+    return sw_tree_reduce(F, sel)
+
+
+# ---------------------------------------------------------------------------
+# twisted Edwards, extended coordinates, unified complete addition
+#   a x^2 + y^2 = 1 + d x^2 y^2;   (X, Y, T, Z), x = X/Z, y = Y/Z, T = XY/Z
+# ---------------------------------------------------------------------------
+
+
+class TEConsts:
+    """Trace-time curve constants (Montgomery-form limb arrays)."""
+
+    def __init__(self, a_mont: np.ndarray, d_mont: np.ndarray):
+        self.a = np.asarray(a_mont)
+        self.d = np.asarray(d_mont)
+
+
+def te_identity(F, shape=()):
+    return (F.zeros(shape), F.ones(shape), F.zeros(shape), F.ones(shape))
+
+
+def te_add(F, C: TEConsts, P, Q):
+    """Unified extended addition (add-2008-hwcd), complete for our curves."""
+    X1, Y1, T1, Z1 = P
+    X2, Y2, T2, Z2 = Q
+    a = F.broadcast_const(C.a, _batch_shape(F, X1))
+    d = F.broadcast_const(C.d, _batch_shape(F, X1))
+    A = F.mul(X1, X2)
+    B = F.mul(Y1, Y2)
+    Cc = F.mul(F.mul(d, T1), T2)
+    D = F.mul(Z1, Z2)
+    E = F.sub(F.sub(F.mul(F.add(X1, Y1), F.add(X2, Y2)), A), B)
+    Fv = F.sub(D, Cc)
+    G = F.add(D, Cc)
+    H = F.sub(B, F.mul(a, A))
+    X3 = F.mul(E, Fv)
+    Y3 = F.mul(G, H)
+    T3 = F.mul(E, H)
+    Z3 = F.mul(Fv, G)
+    return (X3, Y3, T3, Z3)
+
+
+def te_add_affine_const(F, C: TEConsts, P, qx_mont, qy_mont):
+    """P + Q where Q is a *constant affine* point broadcast over the batch.
+
+    Z2 = 1, T2 = qx*qy precomputed at trace time: saves 2 muls and the
+    broadcast bookkeeping — this is the Pedersen hash inner loop.
+    qx_mont/qy_mont: (n,) or (B, n) Montgomery limb arrays.
+    """
+    X1, Y1, T1, Z1 = P
+    shape = _batch_shape(F, X1)
+    qx = jnp.broadcast_to(jnp.asarray(qx_mont), tuple(shape) + (qx_mont.shape[-1],))
+    qy = jnp.broadcast_to(jnp.asarray(qy_mont), tuple(shape) + (qy_mont.shape[-1],))
+    a = F.broadcast_const(C.a, shape)
+    d = F.broadcast_const(C.d, shape)
+    A = F.mul(X1, qx)
+    B = F.mul(Y1, qy)
+    T2 = F.mul(qx, qy)
+    Cc = F.mul(F.mul(d, T1), T2)
+    E = F.sub(F.sub(F.mul(F.add(X1, Y1), F.add(qx, qy)), A), B)
+    Fv = F.sub(Z1, Cc)
+    G = F.add(Z1, Cc)
+    H = F.sub(B, F.mul(a, A))
+    return (F.mul(E, Fv), F.mul(G, H), F.mul(E, H), F.mul(Fv, G))
+
+
+def te_cond_add_affine(F, C: TEConsts, P, qx_mont, qy_mont, bit):
+    """P + Q if bit else P (constant affine Q) — the per-bit Pedersen step."""
+    S = te_add_affine_const(F, C, P, qx_mont, qy_mont)
+    m = bit != 0
+    return tuple(F.select(m, s, p) for s, p in zip(S, P))
+
+
+def te_double(F, C: TEConsts, P):
+    return te_add(F, C, P, P)
+
+
+def te_scalar_mul(F, C: TEConsts, scalar_bits, P):
+    """Batched double-and-add over extended TE points (MSB-first bits)."""
+    bits_t = jnp.moveaxis(scalar_bits, -1, 0)
+    acc0 = te_identity(F, _batch_shape(F, P[0]))
+
+    def body(acc, bit):
+        acc = te_double(F, C, acc)
+        S = te_add(F, C, acc, P)
+        m = bit != 0
+        acc = tuple(F.select(m, s, a) for s, a in zip(S, acc))
+        return acc, None
+
+    acc, _ = lax.scan(body, acc0, bits_t)
+    return acc
+
+
+def te_to_affine(F, P):
+    X, Y, T, Z = P
+    zinv = F.inv(Z)
+    return F.mul(X, zinv), F.mul(Y, zinv)

@@ -1,0 +1,204 @@
+"""Pedersen CRH with twisted-Edwards point compression — native (non-circuit).
+
+Capability parity with `ark-crypto-primitives`' `PedersenCRHCompressor<_,
+TECompressor, W>` as exercised by the reference
+(/root/reference/src/commitments/pedersen381/common.rs:22-48: WINDOW_SIZE=4,
+NUM_WINDOWS=128 for two-to-one and 144 for leaves;
+/root/reference/src/commitments/pedersen761/common.rs:23-47: 4x192 windows).
+
+Semantics reproduced:
+  * parameters = per-window generator power tables: table[w][j] = 2^j * g_w,
+    w < NUM_WINDOWS, j < WINDOW_SIZE, g_w sampled from an RNG;
+  * evaluate(bytes): zero-pad input bytes to the window capacity, decompose
+    into bits LSB-first per byte, and compute sum over bit positions of
+    bit * table_point — one conditional point addition per bit;
+  * compress: map the resulting TE point to its affine x-coordinate
+    (the TECompressor injective map).
+
+TPU design: hashing is *batched over messages*.  The bit loop is a
+`lax.scan` over the flattened generator table (a trace-time constant
+stream), whose body is ONE batched conditional TE mixed addition — the VPU
+processes the whole leaf batch per step.  Parameters are sampled on host
+with the Python bignum curve, then shipped once as Montgomery limb planes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from zkmember_tpu.fields import device as dv
+from zkmember_tpu.curves import device as cdv
+
+
+@dataclass(frozen=True)
+class Window:
+    """Pedersen window shape (mirrors pedersen::Window consts)."""
+
+    window_size: int
+    num_windows: int
+
+    @property
+    def capacity_bits(self) -> int:
+        return self.window_size * self.num_windows
+
+    @property
+    def capacity_bytes(self) -> int:
+        return self.capacity_bits // 8
+
+
+# the three window configurations the reference instantiates
+TWO_TO_ONE_WINDOW_381 = Window(4, 128)  # 512 bits  (2 x 32-byte digests)
+LEAF_WINDOW_381 = Window(4, 144)  # 576 bits  (72-byte leaf capacity)
+WINDOW_761 = Window(4, 192)  # 768 bits  (2 x 48-byte digests / leaves)
+
+
+class PedersenParams:
+    """Sampled generator tables for one (curve, window) configuration.
+
+    Host side keeps affine points as Python-int pairs (for the host hash and
+    for embedding into circuits); device side keeps two (capacity_bits, n)
+    Montgomery limb planes (x and y of each table point, bit-major order:
+    table point for absolute bit position k = 2^(k % WINDOW_SIZE) * g_(k //
+    WINDOW_SIZE)).
+    """
+
+    def __init__(self, curve, window: Window, rng):
+        self.curve = curve  # host TECurve
+        self.window = window
+        field = curve.field
+        pts = []
+        for _ in range(window.num_windows):
+            g = _sample_group_element(curve, rng)
+            for _ in range(window.window_size):
+                pts.append(g)
+                g = curve.double(g)
+        self.table_host = pts  # list of (x, y) host field elements, bit-major
+        # device planes (built lazily: BLS and BW6 use different specs)
+        spec = _spec_for_modulus(field.p)
+        self.spec = spec
+        xs = spec.to_mont_host([pt[0].v for pt in pts])
+        ys = spec.to_mont_host([pt[1].v for pt in pts])
+        self.table_x = jnp.asarray(xs)  # (capacity_bits, n)
+        self.table_y = jnp.asarray(ys)
+        self.consts = cdv.TEConsts(spec.mont_scalar(curve.a.v), spec.mont_scalar(curve.d.v))
+        self.F = dv.FpOps(spec)
+
+
+def _spec_for_modulus(p: int) -> dv.FieldSpec:
+    for spec in (dv.BLS_FR, dv.BLS_FQ, dv.BW6_FR, dv.BW6_FQ):
+        if spec.p == p:
+            return spec
+    raise ValueError(f"no device field spec for modulus of {p.bit_length()} bits")
+
+
+def _sample_group_element(curve, rng) -> tuple:
+    """Uniform-ish prime-order-subgroup point: random scalar times generator.
+
+    The reference samples params from `ark_std::test_rng()`
+    (/root/reference/src/commitments/pedersen381/mod.rs:24-25); our RNG
+    stream is the framework's own deterministic stream (utils.rng).
+    """
+    while True:
+        k = rng.randrange(1, curve.order if curve.order else curve.field.p)
+        g = curve.mul(k, curve.generator)
+        if not curve.is_identity(g):
+            return g
+
+
+def bytes_to_bits(data: bytes, nbits: int) -> np.ndarray:
+    """LSB-first-per-byte bit decomposition, zero-padded to nbits."""
+    assert len(data) * 8 <= nbits
+    out = np.zeros(nbits, dtype=np.uint32)
+    for i, byte in enumerate(data):
+        for j in range(8):
+            out[8 * i + j] = (byte >> j) & 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# host evaluation (oracle / small inputs)
+# ---------------------------------------------------------------------------
+
+
+def hash_bytes_host(params: PedersenParams, data: bytes):
+    """Host Pedersen hash -> compressed digest (host field element)."""
+    cap = params.window.capacity_bits
+    if len(data) > params.window.capacity_bytes:
+        raise ValueError(
+            f"input of {len(data)} bytes exceeds window capacity "
+            f"{params.window.capacity_bytes}"
+        )
+    bits = bytes_to_bits(data, cap)
+    curve = params.curve
+    acc = curve.identity()
+    for k in range(cap):
+        if bits[k]:
+            acc = curve.add(acc, params.table_host[k])
+    return acc[0]  # TECompressor: affine x-coordinate
+
+
+def two_to_one_host(params: PedersenParams, left: bytes, right: bytes):
+    """TwoToOneCRH::evaluate — concatenated child digests, same window eval."""
+    return hash_bytes_host(params, left + right)
+
+
+# ---------------------------------------------------------------------------
+# device evaluation (batched)
+# ---------------------------------------------------------------------------
+
+
+def hash_bits_device(params: PedersenParams, bits):
+    """Batched Pedersen hash of (B, capacity_bits) 0/1 uint32 bit arrays.
+
+    Returns digests as canonical (B, n) uint32 limb arrays (x-coordinates).
+    The scan streams the constant generator table; each step is one batched
+    conditional mixed TE addition.
+    """
+    F, C = params.F, params.consts
+    B = bits.shape[:-1]
+    acc0 = cdv.te_identity(F, B)
+    xs = (params.table_x, params.table_y, jnp.moveaxis(bits, -1, 0))
+
+    def body(acc, x):
+        qx, qy, bit = x
+        acc = cdv.te_cond_add_affine(F, C, acc, qx, qy, bit)
+        return acc, None
+
+    acc, _ = lax.scan(body, acc0, xs)
+    x_aff, _ = cdv.te_to_affine(F, acc)
+    return dv.from_mont(params.spec, x_aff)
+
+
+def digests_to_bits_device(spec: dv.FieldSpec, digests, nbits: int):
+    """Canonical (B, n) limb digests -> (B, nbits) bit planes on device.
+
+    Bit order matches bytes_to_bits over the little-endian byte encoding:
+    plain little-endian bit order of the integer value, zero-padded.
+    """
+    n = spec.n
+    want_limbs = (nbits + dv.LIMB_BITS - 1) // dv.LIMB_BITS
+    d = digests
+    if want_limbs > n:
+        pad = [(0, 0)] * (d.ndim - 1) + [(0, want_limbs - n)]
+        d = jnp.pad(d, pad)
+    shifts = jnp.arange(dv.LIMB_BITS, dtype=jnp.uint32)
+    # (B, limbs, 16) -> (B, limbs*16)
+    bits = (d[..., :want_limbs, None] >> shifts) & 1
+    bits = bits.reshape(d.shape[:-1] + (want_limbs * dv.LIMB_BITS,))
+    return bits[..., :nbits].astype(jnp.uint32)
+
+
+def two_to_one_device(params: PedersenParams, left_digests, right_digests):
+    """Batched TwoToOne hash of canonical limb digests (the tree hot loop).
+
+    Digest byte width is the field's full limb width (32B for BLS stack,
+    48B for BW6) — exactly half the window capacity, as in the reference.
+    """
+    half = params.window.capacity_bits // 2
+    lb = digests_to_bits_device(params.spec, left_digests, half)
+    rb = digests_to_bits_device(params.spec, right_digests, half)
+    return hash_bits_device(params, jnp.concatenate([lb, rb], axis=-1))
