@@ -516,6 +516,13 @@ def _make_specs():
     bls_fq = FieldSpec(bls12_381.Q, 24, "BLS12-381 Fq")  # 381-bit
     bw6_fr = FieldSpec(bw6_761.R, 24, "BW6-761 Fr")  # 377-bit, 2-adicity 46
     bw6_fq = FieldSpec(bw6_761.Q, 48, "BW6-761 Fq")  # 761-bit
+    # NTT domain data (consumed by zkmember_tpu.ntt)
+    bls_fr.two_adicity = bls12_381.TWO_ADICITY
+    bls_fr.two_adic_root = bls12_381.ROOT_OF_UNITY
+    bls_fr.mult_gen = bls12_381.FR_MULT_GEN
+    bw6_fr.two_adicity = bw6_761.TWO_ADICITY
+    bw6_fr.two_adic_root = bw6_761.ROOT_OF_UNITY
+    bw6_fr.mult_gen = bw6_761.FR_MULT_GEN
     bls_fq2 = Fp2Spec(bls_fq, -1, "BLS12-381 Fq2")
     return bls_fr, bls_fq, bw6_fr, bw6_fq, bls_fq2
 
