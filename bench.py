@@ -1,0 +1,81 @@
+"""Headline benchmark: Groth16 BLS12-381 membership proof generation.
+
+Reproduces the reference's benchmark protocol (benches/groth16.rs:49-137:
+build tree -> random member -> path -> circuit -> setup once -> timed prove)
+at a registrar size chosen by $BENCH_MEMBERS (default 16; reference sweeps
+16..1024, BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup}
+vs_baseline = reference_seconds / ours (>1 means faster than the reference's
+MacBook Pro numbers from report.pdf p6 Fig 7).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/zkmember_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def main():
+    members = int(os.environ.get("BENCH_MEMBERS", "16"))
+    # report.pdf p6 Fig 7 (MacBook Pro): ~300 ms at 16 -> ~620 ms at 1024
+    baseline_s = {16: 0.300, 50: 0.380, 64: 0.400, 100: 0.450, 128: 0.470,
+                  512: 0.560, 1000: 0.620, 1024: 0.620}.get(members, 0.300)
+
+    import random
+
+    from zkmember_tpu.app import circuits as app
+    from zkmember_tpu.app.member import generate_members
+    from zkmember_tpu.snark import groth16
+    from zkmember_tpu.utils import rng as frng
+
+    t0 = time.time()
+    rng = frng.test_rng()
+    cfg = app.get_config("pedersen381")
+    leaf_params, node_params = cfg.setup_params(rng)
+
+    ms = generate_members(members)
+    digests = [m.hash(leaf_params) for m in ms]
+    tree = app.new_membership_tree(leaf_params, node_params, digests)
+    root = tree.root()
+    idx = random.Random(0).randrange(members)
+    path = tree.generate_proof(idx)
+    circuit = app.MerkleTreeCircuit(
+        config=cfg,
+        leaf_params=leaf_params,
+        node_params=node_params,
+        root=root,
+        leaf_hash=digests[idx],
+        authentication_path=path,
+    )
+    cs = circuit.generate_constraints()
+    print(f"# circuit: {cs.num_constraints} constraints, "
+          f"{cs.num_variables} vars, tree depth {tree.depth}", file=sys.stderr)
+
+    pk, vk = groth16.setup(cs, curve="bls12_381", rng=rng)
+    print(f"# setup done at t={time.time()-t0:.1f}s", file=sys.stderr)
+
+    # warm-up prove (compiles all kernels), then timed prove
+    proof = groth16.prove(pk, cs, rng=rng)
+    t1 = time.time()
+    proof = groth16.prove(pk, cs, rng=rng)
+    prove_s = time.time() - t1
+    print(f"# prove: {prove_s:.3f}s", file=sys.stderr)
+
+    ok = groth16.verify(vk, [root, digests[idx]], proof)
+    assert ok, "proof failed to verify"
+
+    print(json.dumps({
+        "metric": f"groth16_bls12_381_prove_{members}members",
+        "value": round(prove_s, 4),
+        "unit": "s",
+        "vs_baseline": round(baseline_s / prove_s, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -8,9 +8,21 @@ compile-checks the multi-chip path.  Env vars must be set before jax imports.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# HARD-set (not setdefault): the container exports JAX_PLATFORMS=axon and a
+# sitecustomize registers the axon TPU plugin with jax_platforms="axon,cpu",
+# so only an explicit config update after import reliably pins tests to CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: XLA compiles of the big unrolled limb
+# kernels dominate suite wall time on small hosts; cache them across runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/zkmember_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")

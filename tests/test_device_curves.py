@@ -117,6 +117,20 @@ def test_sw_scalar_mul_and_msm(rng):
     assert got == want_total
 
 
+def test_sw_scalar_mul_windowed(rng):
+    import zkmember_tpu.msm.msm as msmmod
+
+    k = 4
+    pts = host_g1_points(rng, k)
+    scalars = [rng.randrange(bls.R) for _ in range(k - 2)] + [0, 1]
+    digits = jnp.asarray(msmmod.scalars_to_digits_np(scalars, 256))
+    dP = g1_to_device(pts)
+    got = device_to_g1(
+        jax.jit(lambda d, P: cdv.sw_scalar_mul_windowed(FQ, d, P))(digits, dP)
+    )
+    assert got == [bls.G1.mul(s, p) for s, p in zip(scalars, pts)]
+
+
 def test_sw_msm_bool(rng):
     k = 7  # non-power-of-two exercises the padded tree reduction
     pts = host_g1_points(rng, k)

@@ -1,0 +1,68 @@
+"""Marlin + KZG: universal setup -> index -> prove -> verify.
+
+Parity with the reference's Marlin flow (src/examples/marlin.rs:69-84,
+benches/marlin.rs) on a small circuit: completeness, input binding
+(wrong public input fails), and plain KZG commit/open/check.
+"""
+
+import pytest
+
+from zkmember_tpu.r1cs.cs import ConstraintSystem
+from zkmember_tpu.r1cs import gadgets as g
+from zkmember_tpu.snark import kzg, marlin
+from zkmember_tpu.utils import rng as frng
+from zkmember_tpu.curves import bls12_381 as bls
+
+
+def toy_circuit(witness_val: int):
+    """Public out; private w: constraints (w+1)^2 = t, t * w = out."""
+    cs = ConstraintSystem(bls.Fr)
+    r = bls.R
+    out_val = (witness_val + 1) ** 2 % r * witness_val % r
+    out = g.FpVar.new_input(cs, out_val)
+    w = g.FpVar.new_witness(cs, witness_val)
+    w1 = w.add_constant(1)
+    t = w1 * w1
+    tw = t * w
+    tw.enforce_equal(out, "out")
+    return cs, out_val
+
+
+def test_kzg_commit_open_check():
+    rng = frng.test_rng()
+    pp = kzg.setup(16, curve="bls12_381", rng=rng)
+    coeffs = [3, 1, 4, 1, 5, 9, 2, 6]
+    comm = kzg.commit(pp, coeffs, degree_bound=10)
+    z = 123456789
+    v, prf = kzg.open_at(pp, coeffs, z)
+    assert v == kzg.poly_eval(coeffs, z, bls.R)
+    assert kzg.check(pp, comm, z, v, prf)
+    assert not kzg.check(pp, comm, z, (v + 1) % bls.R, prf)
+
+
+def test_marlin_end_to_end():
+    rng = frng.test_rng()
+    cs, out_val = toy_circuit(7)
+    assert cs.is_satisfied()
+    pp = marlin.universal_setup(
+        cs.num_constraints, cs.num_variables, 32, curve="bls12_381", rng=rng
+    )
+    ipk, ivk = marlin.index(pp, cs)
+    proof = marlin.prove(ipk, cs, rng=rng)
+    assert marlin.verify(ivk, [out_val], proof)
+    # wrong public input must fail (input binding through x_hat)
+    assert not marlin.verify(ivk, [(out_val + 1) % bls.R], proof)
+
+
+def test_marlin_universal_reuse():
+    """One SRS + one index serve a different witness (universal-SRS mode,
+    benches/marlin.rs:147-172 semantics at circuit scale)."""
+    rng = frng.test_rng()
+    cs1, out1 = toy_circuit(7)
+    pp = marlin.universal_setup(
+        cs1.num_constraints, cs1.num_variables, 32, curve="bls12_381", rng=rng
+    )
+    ipk, ivk = marlin.index(pp, cs1)
+    cs2, out2 = toy_circuit(11)  # same circuit shape, new assignment
+    proof = marlin.prove(ipk, cs2, rng=rng)
+    assert marlin.verify(ivk, [out2], proof)

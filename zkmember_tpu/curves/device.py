@@ -145,6 +145,57 @@ def sw_scalar_mul(F, scalar_bits, P):
     return acc
 
 
+def _gather_coord(c, idx):
+    """Gather along a leading table axis: c (T, B..., n), idx (B,) -> (B..., n)."""
+    if isinstance(c, tuple):
+        return tuple(_gather_coord(ci, idx) for ci in c)
+    idxe = idx.reshape(idx.shape + (1,) * (c.ndim - 1 - idx.ndim))
+    idxe = jnp.broadcast_to(idxe[None], (1,) + c.shape[1:])
+    return jnp.take_along_axis(c, idxe, axis=0)[0]
+
+
+def sw_scalar_mul_windowed(F, digits, P, c_bits: int = 4):
+    """Batched windowed (Straus) scalar mul: ~2x fewer muls than double-add.
+
+    digits: (B, n_windows) uint32 window digits, MOST-significant window
+    first, each < 2^c_bits.  Builds the per-point small-multiple table
+    [0]P..[2^c-1]P (2^c-2 batched adds), then per window: c doublings + one
+    table gather + one add.  ~(8c + 16)/c muls per bit vs 24 for double-add.
+    """
+    nwin = digits.shape[-1]
+    T = 1 << c_bits
+    inf = sw_infinity(F, _batch_shape(F, P[0]))
+    table = [inf, P]
+    for j in range(2, T):
+        table.append(sw_add(F, table[-1], P))
+
+    def stack(coord_list):
+        if isinstance(coord_list[0], tuple):
+            return tuple(stack([c[i] for c in coord_list]) for i in range(len(coord_list[0])))
+        return jnp.stack(coord_list, axis=0)
+
+    TX = stack([t[0] for t in table])
+    TY = stack([t[1] for t in table])
+    TZ = stack([t[2] for t in table])
+
+    acc0 = inf
+    digits_t = jnp.moveaxis(digits, -1, 0)  # (nwin, B)
+
+    def body(acc, dig):
+        for _ in range(c_bits):
+            acc = sw_double(F, acc)
+        Q = (
+            _gather_coord(TX, dig),
+            _gather_coord(TY, dig),
+            _gather_coord(TZ, dig),
+        )
+        acc = sw_add(F, acc, Q)
+        return acc, None
+
+    acc, _ = lax.scan(body, acc0, digits_t)
+    return acc
+
+
 def sw_to_affine(F, P):
     """Batch-normalize Jacobian -> affine (x, y, inf_mask)."""
     X, Y, Z = P

@@ -270,6 +270,68 @@ class ExtElement:
         a0, a1 = self.coeffs
         return type(self)(a0, -a1)
 
+    # -- square roots (generic Tonelli-Shanks over the extension) -----------
+    @classmethod
+    def _group_order(cls) -> int:
+        base_p = cls.base.p if hasattr(cls.base, "p") else cls.base._group_order() + 1
+        return base_p**cls.degree - 1
+
+    def is_square(self) -> bool:
+        if self.is_zero():
+            return True
+        return (self ** (self._group_order() // 2)) == type(self).one()
+
+    @classmethod
+    @lru_cache(maxsize=None)
+    def _nonresidue_for_sqrt(cls):
+        """Find a quadratic non-residue by scanning small coefficient vectors."""
+        half = cls._group_order() // 2
+        one_b = cls.base.one()
+
+        def small(k):  # k * 1 in the base field (works for nested towers)
+            acc = cls.base.zero()
+            for _ in range(k):
+                acc = acc + one_b
+            return acc
+
+        n = 1
+        while True:
+            n += 1
+            # digits of n in base 4 spread across coefficients
+            digs, m = [], n
+            for _ in range(cls.degree):
+                digs.append(m % 4)
+                m //= 4
+            cand = cls(*[small(d) for d in digs])
+            if not cand.is_zero() and (cand**half) != cls.one():
+                return cand
+
+    def sqrt(self):
+        """Tonelli-Shanks in the multiplicative group; None if non-square."""
+        if self.is_zero():
+            return self
+        cls = type(self)
+        order = self._group_order()
+        if (self ** (order // 2)) != cls.one():
+            return None
+        q, s = order, 0
+        while q % 2 == 0:
+            q //= 2
+            s += 1
+        z = cls._nonresidue_for_sqrt()
+        m, c, t, r = s, z**q, self**q, self ** ((q + 1) // 2)
+        one = cls.one()
+        while t != one:
+            t2, i = t, 0
+            while t2 != one:
+                t2 = t2 * t2
+                i += 1
+            b = c ** (1 << (m - i - 1))
+            m, c = i, b * b
+            r = r * b
+            t = t * c
+        return r
+
     def __eq__(self, o):
         return (
             isinstance(o, ExtElement)

@@ -111,10 +111,26 @@ def scalars_to_bits_np(scalars, nbits: int) -> np.ndarray:
     return out
 
 
+WINDOW_BITS = 4
+
+
+def scalars_to_digits_np(scalars, nbits: int, c: int = WINDOW_BITS) -> np.ndarray:
+    """(B, ceil(nbits/c)) window digits, most-significant window first."""
+    nwin = (nbits + c - 1) // c
+    out = np.zeros((len(scalars), nwin), dtype=np.uint32)
+    mask = (1 << c) - 1
+    for i, s in enumerate(scalars):
+        s = int(s)
+        for w in range(nwin):
+            out[i, nwin - 1 - w] = (s >> (c * w)) & mask
+    return out
+
+
 @partial(jax.jit, static_argnums=(0,))
-def _msm_general_kernel(F, bits, X, Y):
+def _msm_general_kernel(F, digits, X, Y):
     P = (X, Y, F.ones((_leading(X),)))
-    return cdv.sw_msm(F, bits, P)
+    per_point = cdv.sw_scalar_mul_windowed(F, digits, P, WINDOW_BITS)
+    return cdv.sw_tree_reduce(F, per_point)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -180,9 +196,10 @@ def msm(points: PointArray, scalars, order: int, nbits: int | None = None):
     if gen_idx:
         m = _next_pow2(len(gen_idx))
         sel = points.take(np.array(gen_idx, np.int64)).pad_to(m)
-        bits = np.zeros((m, nbits), np.uint32)
-        bits[: len(gen_idx)] = scalars_to_bits_np([sc[i] for i in gen_idx], nbits)
-        J = _msm_general_kernel(F, jnp.asarray(bits), sel.x, sel.y)
+        nwin = (nbits + WINDOW_BITS - 1) // WINDOW_BITS
+        digits = np.zeros((m, nwin), np.uint32)
+        digits[: len(gen_idx)] = scalars_to_digits_np([sc[i] for i in gen_idx], nbits)
+        J = _msm_general_kernel(F, jnp.asarray(digits), sel.x, sel.y)
         total = _host_add(curve, total, _jac_to_host(F, None, curve, J))
     return total
 

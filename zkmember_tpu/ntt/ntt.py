@@ -33,13 +33,26 @@ def _bit_reverse_perm(n: int) -> np.ndarray:
     return rev
 
 
+_DOMAIN_CACHE: dict = {}
+
+
 class Domain:
     """Power-of-two evaluation domain over a device field.
 
     Mirrors ark-poly's Radix2EvaluationDomain: generator w of order N,
     vanishing polynomial Z(x) = x^N - 1, and a multiplicative coset with
     the field's multiplicative generator (used by the Groth16 H step).
+
+    Use Domain.get() for a cached instance — Domain objects key jit caches
+    (static args), so reuse avoids recompilation.
     """
+
+    @classmethod
+    def get(cls, spec: "dv.FieldSpec", size: int) -> "Domain":
+        key = (spec.p, size)
+        if key not in _DOMAIN_CACHE:
+            _DOMAIN_CACHE[key] = cls(spec, size)
+        return _DOMAIN_CACHE[key]
 
     def __init__(self, spec: dv.FieldSpec, size: int):
         assert size & (size - 1) == 0 and size >= 2

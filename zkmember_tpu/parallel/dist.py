@@ -1,0 +1,145 @@
+"""Multi-chip SPMD layer: device meshes + sharded MSM / hashing / NTT.
+
+The reference's only parallelism is rayon shared-memory data parallelism
+inside arkworks (SURVEY.md section 2.3); the TPU-native equivalent is SPMD
+over a jax.sharding.Mesh with XLA collectives over ICI:
+
+  * axis "dp"  — independent work items (leaf batches, proof batches);
+  * axis "msm" — points *within* one MSM: each device reduces its shard,
+    the per-device Jacobian partials are all_gather'ed (one small collective)
+    and every device finishes the log2(n_dev) tail locally.
+
+Field-element partial sums additionally exploit the limb representation:
+sums of < 2^9 Montgomery limb planes fit u32 columns, so a cross-device
+field reduction is a plain `psum` of raw columns followed by one local
+carry+mod — integer collectives over ICI, no group law involved (used by
+the sharded witness inner products).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+from jax.experimental.shard_map import shard_map
+
+from zkmember_tpu.fields import device as dv
+from zkmember_tpu.curves import device as cdv
+
+
+def make_mesh(n_devices: int | None = None, dp: int | None = None) -> Mesh:
+    """2D (dp, msm) mesh over the available devices."""
+    devs = np.array(jax.devices())
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    dp = dp or 1
+    assert n % dp == 0
+    return Mesh(devs.reshape(dp, n // dp), ("dp", "msm"))
+
+
+# ---------------------------------------------------------------------------
+# sharded MSM: points split over the "msm" axis
+# ---------------------------------------------------------------------------
+
+
+def sharded_msm(F, mesh: Mesh, bits, X, Y):
+    """MSM with points sharded across mesh axis "msm".
+
+    bits: (B, nbits) scalar bits; X/Y affine coord planes (B, n).  B must be
+    divisible by the msm axis size.  Each device computes its shard's
+    partial Jacobian sum, partials ride ONE all_gather over ICI, and the
+    log2(n_dev) combine tail is replicated.  Returns a replicated Jacobian
+    point (batch shape (1,)).
+    """
+
+    def local(bits, X, Y):
+        P_loc = (X, Y, F.ones((X.shape[0] if not isinstance(X, tuple) else X[0].shape[0],)))
+        part = cdv.sw_msm(F, bits, P_loc)  # local partial, batch shape ()
+        part = tuple(_lift(c) for c in part)  # (1, ...) for gathering
+        gathered = tuple(
+            jax.tree.map(lambda c: jax.lax.all_gather(c, "msm", axis=0, tiled=True), c)
+            for c in part
+        )
+        total = cdv.sw_tree_reduce(F, gathered)
+        return tuple(_lift(c) for c in total)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("msm", None), _coord_spec(X), _coord_spec(Y)),
+        out_specs=_point_spec(X),
+        check_rep=False,
+    )
+    return fn(bits, X, Y)
+
+
+def _lift(c):
+    if isinstance(c, tuple):
+        return tuple(_lift(ci) for ci in c)
+    return c[None]
+
+
+def _coord_spec(c):
+    if isinstance(c, tuple):
+        return tuple(_coord_spec(ci) for ci in c)
+    return P("msm", None)
+
+
+def _point_spec(X):
+    one = _coord_spec_rep(X)
+    return (one, one, one)
+
+
+def _coord_spec_rep(c):
+    if isinstance(c, tuple):
+        return tuple(_coord_spec_rep(ci) for ci in c)
+    return P(None, None)
+
+
+# ---------------------------------------------------------------------------
+# sharded field reduction: psum of u32 limb columns + one local reduction
+# ---------------------------------------------------------------------------
+
+
+def sharded_field_sum(spec: dv.FieldSpec, mesh: Mesh, vals):
+    """sum_i vals[i] mod p with vals (B, n) sharded over "msm".
+
+    Local column sums stay < B_local * 2^16 (caller keeps B_local < 2^15);
+    the cross-device step is an integer psum over ICI, then one carry+mod.
+    """
+
+    def local(v):
+        cols = jnp.sum(v, axis=0, keepdims=True)  # (1, n) u32 columns
+        cols = jax.lax.psum(cols, "msm")
+        limbs = dv._carry(cols, spec.n + 1)
+        return dv._cond_sub_p(spec, limbs[..., : spec.n], limbs[..., spec.n])
+
+    fn = shard_map(
+        local, mesh=mesh, in_specs=P("msm", None), out_specs=P(None, None), check_rep=False
+    )
+    return fn(vals)
+
+
+# ---------------------------------------------------------------------------
+# data-parallel hashing: leaves split over the full mesh
+# ---------------------------------------------------------------------------
+
+
+def sharded_two_to_one(params, mesh: Mesh, left, right):
+    """Batched two-to-one Pedersen hash with the leaf batch sharded over dp."""
+    from zkmember_tpu.hash import pedersen as ph
+
+    def local(l, r):
+        return ph.two_to_one_device(params, l, r)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(("dp", "msm"), None), P(("dp", "msm"), None)),
+        out_specs=P(("dp", "msm"), None),
+        check_rep=False,
+    )
+    return fn(left, right)

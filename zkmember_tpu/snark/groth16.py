@@ -1,0 +1,491 @@
+"""Groth16: circuit-specific setup, TPU prover, host verifier.
+
+Capability parity with `ark-groth16`'s {circuit_specific_setup, prove,
+verify} as the reference drives them
+(/root/reference/src/commitments/pedersen381/mod.rs:60-71, SURVEY.md
+section 3.1).  Works over any pairing stack exposing the PairingConfig
+protocol below (BLS12-381 and BW6-761 shipped).
+
+Host/device split (SURVEY.md section 3.1 footer):
+  host   — toxic-waste sampling, QAP evaluation at tau (sparse, bignum),
+           transcript/serialization, the O(1) pairing verifier;
+  device — key-element fixed-base scalar muls, the NTT pipeline for H(x),
+           and all proof MSMs (scalar-classified; see zkmember_tpu.msm).
+
+R1CS -> QAP uses the libsnark/ark construction: the evaluation domain is
+sized to num_constraints + num_instance and each instance variable i gets
+an extra Lagrange term L_{nc+i} added to its A-polynomial, which pins the
+public inputs inside the QAP (prevents input malleability).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from zkmember_tpu.fields import device as dv
+from zkmember_tpu.curves import device as cdv
+import zkmember_tpu.msm.msm as msmmod
+from zkmember_tpu import ntt as nttmod
+from zkmember_tpu.r1cs.cs import ConstraintSystem
+from zkmember_tpu.utils import rng as frng
+
+
+# ---------------------------------------------------------------------------
+# pairing stack configs
+# ---------------------------------------------------------------------------
+
+
+class PairingConfig:
+    """Everything Groth16 needs to know about a pairing-friendly curve."""
+
+    def __init__(self, name, fr_spec, g1_field_ops, g2_field_ops, mod):
+        self.name = name
+        self.fr_spec = fr_spec  # device spec of the scalar field
+        self.F1 = g1_field_ops
+        self.F2 = g2_field_ops
+        self.mod = mod  # host curve module (G1, G2, pairing, ...)
+        self.r = mod.R
+
+    def g1_from_host(self, pts):
+        raise NotImplementedError
+
+    def g2_from_host(self, pts):
+        raise NotImplementedError
+
+
+class _BLSConfig(PairingConfig):
+    def __init__(self):
+        from zkmember_tpu.curves import bls12_381 as mod
+
+        super().__init__(
+            "bls12_381", dv.BLS_FR, dv.FpOps(dv.BLS_FQ), dv.Fp2Ops(dv.BLS_FQ2), mod
+        )
+
+    def g1_from_host(self, pts):
+        return msmmod.g1_points_from_host(dv.BLS_FQ, self.mod.G1, pts)
+
+    def g2_from_host(self, pts):
+        return msmmod.g2_points_from_host(dv.BLS_FQ2, self.mod.G2, pts)
+
+
+class _BW6Config(PairingConfig):
+    def __init__(self):
+        from zkmember_tpu.curves import bw6_761 as mod
+
+        # BW6's G2 also lives over the base field Fq — same ops vtable.
+        super().__init__(
+            "bw6_761", dv.BW6_FR, dv.FpOps(dv.BW6_FQ), dv.FpOps(dv.BW6_FQ), mod
+        )
+
+    def g1_from_host(self, pts):
+        return msmmod.g1_points_from_host(dv.BW6_FQ, self.mod.G1, pts)
+
+    def g2_from_host(self, pts):
+        return msmmod.g1_points_from_host(dv.BW6_FQ, self.mod.G2, pts)
+
+
+_CONFIGS: dict = {}
+
+
+def pairing_config(name: str) -> PairingConfig:
+    if name not in _CONFIGS:
+        _CONFIGS[name] = _BLSConfig() if name == "bls12_381" else _BW6Config()
+    return _CONFIGS[name]
+
+
+# ---------------------------------------------------------------------------
+# QAP evaluation at tau (host bignum; sparse)
+# ---------------------------------------------------------------------------
+
+
+def _batch_inverse(vals, p):
+    """Montgomery's trick: n inversions for one inversion + 3n mults."""
+    n = len(vals)
+    prefix = [1] * (n + 1)
+    for i, v in enumerate(vals):
+        prefix[i + 1] = prefix[i] * v % p
+    inv_all = pow(prefix[n], -1, p)
+    out = [0] * n
+    for i in range(n - 1, -1, -1):
+        out[i] = prefix[i] * inv_all % p
+        inv_all = inv_all * vals[i] % p
+    return out
+
+
+def qap_evaluate_at(cs: ConstraintSystem, domain: nttmod.Domain, tau: int):
+    """u_i(tau), v_i(tau), w_i(tau) per variable + Z(tau).
+
+    Lagrange basis L_j(tau) = Z(tau)/M * w^j / (tau - w^j); instance rows
+    append L_{nc+i} into u_i (input consistency).
+    """
+    p = cs.p
+    M = domain.size
+    nc, ni, nv = cs.num_constraints, cs.num_instance, cs.num_variables
+    assert nc + ni <= M
+    z_tau = (pow(tau, M, p) - 1) % p
+    assert z_tau != 0, "tau hit the domain (resample)"
+    wj = [1] * M
+    for j in range(1, M):
+        wj[j] = wj[j - 1] * domain.w % p
+    denoms = _batch_inverse([(tau - w) % p for w in wj], p)
+    zm = z_tau * pow(M, -1, p) % p
+    L = [zm * wj[j] % p * denoms[j] % p for j in range(M)]
+
+    u = [0] * nv
+    v = [0] * nv
+    w = [0] * nv
+    for j in range(nc):
+        lj = L[j]
+        for i, c in cs.A[j].items():
+            u[i] = (u[i] + c * lj) % p
+        for i, c in cs.B[j].items():
+            v[i] = (v[i] + c * lj) % p
+        for i, c in cs.C[j].items():
+            w[i] = (w[i] + c * lj) % p
+    for i in range(ni):
+        u[i] = (u[i] + L[nc + i]) % p
+    return u, v, w, z_tau
+
+
+# ---------------------------------------------------------------------------
+# fixed-base batched scalar mul on device (key generation)
+# ---------------------------------------------------------------------------
+
+
+_FIXED_TABLES: dict = {}
+
+
+def _fixed_base_table(cfg, base_host, curve, g2: bool):
+    """Host-precomputed (n_windows, 16) table: table[w][d] = d * 16^w * G,
+    shipped once as device Jacobian planes (Z=0 rows encode d=0)."""
+    key = (cfg.name, g2)
+    if key not in _FIXED_TABLES:
+        r = cfg.r
+        c = msmmod.WINDOW_BITS
+        nwin = (r.bit_length() + c - 1) // c
+        flat = []
+        step = base_host
+        for _ in range(nwin):
+            acc = None
+            for d in range(1 << c):
+                flat.append(acc)  # d * 16^w * G (None for d=0)
+                acc = curve.add(acc, step) if acc is not None else step
+            for _ in range(c):
+                step = curve.double(step)
+        # replace None (infinity) rows with the generator but mark Z=0
+        inf_mask = np.array([p is None for p in flat], np.uint32)
+        pts = [base_host if p is None else p for p in flat]
+        tbl = cfg.g2_from_host(pts) if g2 else cfg.g1_from_host(pts)
+        F = cfg.F2 if g2 else cfg.F1
+        Z = F.ones((len(pts),))
+        zero = F.zeros((len(pts),))
+        Z = F.select(jnp.asarray(inf_mask) != 0, zero, Z)
+        nw, T = nwin, 1 << c
+
+        def resh(cc):
+            if isinstance(cc, tuple):
+                return tuple(resh(ci) for ci in cc)
+            return cc.reshape((nw, T) + cc.shape[1:])
+
+        _FIXED_TABLES[key] = (resh(tbl.x), resh(tbl.y), resh(Z), nwin)
+    return _FIXED_TABLES[key]
+
+
+def _fixed_base_mul(cfg, F, base_host, curve, scalars, g2=False):
+    """[s*G for s in scalars] on device; returns host affine point list.
+
+    Fully-tabled windowed method: the per-window digit tables d * 16^w * G
+    are host-precomputed constants, so each point costs only n_windows
+    batched additions — no doublings at all (the setup hot loop).
+    """
+    r = cfg.r
+    if not scalars:
+        return []
+    TX, TY, TZ, nwin = _fixed_base_table(cfg, base_host, curve, g2)
+    B = len(scalars)
+    m = msmmod._next_pow2(max(B, 1))
+    c = msmmod.WINDOW_BITS
+    digits = np.zeros((m, nwin), np.uint32)
+    dg = msmmod.scalars_to_digits_np([s % r for s in scalars], nwin * c)
+    digits[:B] = dg[:, ::-1]  # LSW first to match table window order
+
+    J = _fixed_base_kernel(F, jnp.asarray(digits), TX, TY, TZ)
+    x, y, inf = _to_affine_kernel(F, J)
+    return _affine_to_host(cfg, F, curve, x, y, inf, B)
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _to_affine_kernel(F, J):
+    return cdv.sw_to_affine(F, J)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _fixed_base_kernel(F, digits, TX, TY, TZ):
+    """digits: (B, nwin) LSW-first; T*: (nwin, 16) Jacobian window tables."""
+    B = digits.shape[0]
+    acc0 = cdv.sw_infinity(F, (B,))
+
+    def body(acc, xs):
+        tx, ty, tz, dig = xs  # tables (16, ...), digits (B,)
+        Q = (
+            cdv._gather_coord(_bcast_mid(tx, B), dig),
+            cdv._gather_coord(_bcast_mid(ty, B), dig),
+            cdv._gather_coord(_bcast_mid(tz, B), dig),
+        )
+        return cdv.sw_add(F, acc, Q), None
+
+    acc, _ = jax.lax.scan(
+        body, acc0, (TX, TY, TZ, jnp.moveaxis(digits, 0, 1))
+    )
+    return acc
+
+
+def _bcast_mid(c, B):
+    """(16, n...) table coord -> (16, B, n...) broadcast for per-point gather."""
+    if isinstance(c, tuple):
+        return tuple(_bcast_mid(ci, B) for ci in c)
+    return jnp.broadcast_to(c[:, None], (c.shape[0], B) + c.shape[1:])
+
+
+def _affine_to_host(cfg, F, curve, x, y, inf, count):
+    infs = np.asarray(inf)[:count]
+    if isinstance(x, tuple):  # Fp2 coordinates
+        base = dv.BLS_FQ
+        x0 = base.from_mont_host(np.asarray(x[0])[:count])
+        x1 = base.from_mont_host(np.asarray(x[1])[:count])
+        y0 = base.from_mont_host(np.asarray(y[0])[:count])
+        y1 = base.from_mont_host(np.asarray(y[1])[:count])
+        f2 = curve.field
+        fq = f2.base
+        return [
+            None
+            if infs[i]
+            else ((f2(fq(x0[i]), fq(x1[i]))), (f2(fq(y0[i]), fq(y1[i]))))
+            for i in range(count)
+        ]
+    spec = F.spec
+    xs = spec.from_mont_host(np.asarray(x)[:count])
+    ys = spec.from_mont_host(np.asarray(y)[:count])
+    return [
+        None if infs[i] else (curve.field(xs[i]), curve.field(ys[i]))
+        for i in range(count)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# keys / proof containers
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class VerifyingKey:
+    curve: str
+    alpha_g1: tuple
+    beta_g2: tuple
+    gamma_g2: tuple
+    delta_g2: tuple
+    gamma_abc_g1: list  # host affine, len = num_instance
+
+
+@dataclass
+class ProvingKey:
+    curve: str
+    vk: VerifyingKey
+    beta_g1: tuple
+    delta_g1: tuple
+    a_query: "msmmod.PointArray"  # u_i(tau) G1, all vars (device)
+    b_g1_query: "msmmod.PointArray"
+    b_g2_query: "msmmod.PointArray"
+    h_query: "msmmod.PointArray"  # tau^k Z/delta G1, k < M-1
+    l_query: "msmmod.PointArray"  # witness vars only
+    a_nonzero: list  # indices where u_i != 0 (zero points dropped on device)
+    b_nonzero: list
+    domain_size: int
+    num_instance: int
+
+
+@dataclass
+class Proof:
+    curve: str
+    a: tuple  # G1 affine
+    b: tuple  # G2 affine
+    c: tuple  # G1 affine
+
+
+# ---------------------------------------------------------------------------
+# setup / prove / verify
+# ---------------------------------------------------------------------------
+
+
+def setup(cs: ConstraintSystem, curve: str = "bls12_381", rng=None):
+    """circuit_specific_setup (pedersen381/mod.rs:60): sample toxic waste,
+    evaluate the QAP at tau, build pk/vk via device fixed-base muls."""
+    cfg = pairing_config(curve)
+    rng = rng or frng.test_rng()
+    r = cfg.r
+    mod = cfg.mod
+
+    alpha, beta, gamma, delta, tau = (frng.nonzero_field_element(rng, r) for _ in range(5))
+    M = msmmod._next_pow2(cs.num_constraints + cs.num_instance)
+    domain = nttmod.Domain.get(cfg.fr_spec, M)
+    u, v, w, z_tau = qap_evaluate_at(cs, domain, tau)
+
+    ni, nv = cs.num_instance, cs.num_variables
+    gamma_inv = pow(gamma, -1, r)
+    delta_inv = pow(delta, -1, r)
+
+    g1, g2 = mod.G1, mod.G2
+    G, H = mod.G1_GEN, mod.G2_GEN
+
+    # scalar lists
+    abc = [(beta * u[i] + alpha * v[i] + w[i]) % r for i in range(nv)]
+    gamma_abc = [abc[i] * gamma_inv % r for i in range(ni)]
+    l_scalars = [abc[i] * delta_inv % r for i in range(ni, nv)]
+    taupow = [1] * (M - 1)
+    for k in range(1, M - 1):
+        taupow[k] = taupow[k - 1] * tau % r
+    h_scalars = [taupow[k] * z_tau % r * delta_inv % r for k in range(M - 1)]
+
+    # nonzero filtering for a/b queries (zeros contribute nothing; keeps the
+    # device arrays dense)
+    a_nonzero = [i for i in range(nv) if u[i] % r]
+    b_nonzero = [i for i in range(nv) if v[i] % r]
+
+    F1, F2 = cfg.F1, cfg.F2
+    a_pts = _fixed_base_mul(cfg, F1, G, g1, [u[i] for i in a_nonzero])
+    b1_pts = _fixed_base_mul(cfg, F1, G, g1, [v[i] for i in b_nonzero])
+    b2_pts = _fixed_base_mul(cfg, F2, H, g2, [v[i] for i in b_nonzero], g2=True)
+    h_pts = _fixed_base_mul(cfg, F1, G, g1, h_scalars)
+    l_pts = _fixed_base_mul(cfg, F1, G, g1, l_scalars)
+    gamma_abc_pts = _fixed_base_mul(cfg, F1, G, g1, gamma_abc)
+
+    vk = VerifyingKey(
+        curve=curve,
+        alpha_g1=g1.mul(alpha, G),
+        beta_g2=g2.mul(beta, H),
+        gamma_g2=g2.mul(gamma, H),
+        delta_g2=g2.mul(delta, H),
+        gamma_abc_g1=gamma_abc_pts,
+    )
+    pk = ProvingKey(
+        curve=curve,
+        vk=vk,
+        beta_g1=g1.mul(beta, G),
+        delta_g1=g1.mul(delta, G),
+        a_query=cfg.g1_from_host(a_pts),
+        b_g1_query=cfg.g1_from_host(b1_pts),
+        b_g2_query=cfg.g2_from_host(b2_pts),
+        h_query=cfg.g1_from_host(h_pts),
+        l_query=cfg.g1_from_host(l_pts),
+        a_nonzero=a_nonzero,
+        b_nonzero=b_nonzero,
+        domain_size=M,
+        num_instance=ni,
+    )
+    return pk, vk
+
+
+def _matrix_evals(cs: ConstraintSystem, M: int):
+    """Extended-domain evaluations of <A_j,z>, <B_j,z>, <C_j,z> (host ints)."""
+    p = cs.p
+    nc, ni = cs.num_constraints, cs.num_instance
+    a = [0] * M
+    b = [0] * M
+    c = [0] * M
+    for j in range(nc):
+        a[j] = cs.lc_value(cs.A[j])
+        b[j] = cs.lc_value(cs.B[j])
+        c[j] = cs.lc_value(cs.C[j])
+    for i in range(ni):  # input-consistency rows
+        a[nc + i] = cs.values[i]
+    return a, b, c
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _h_kernel(domain: "nttmod.Domain", a, b, c, zh_inv):
+    """Coset-evaluation H pipeline: coeffs of (AB - C)/Z_H (device)."""
+    spec = domain.spec
+    ca = nttmod.intt(domain, a)
+    cb = nttmod.intt(domain, b)
+    cc = nttmod.intt(domain, c)
+    ea = nttmod.coset_ntt(domain, ca)
+    eb = nttmod.coset_ntt(domain, cb)
+    ec = nttmod.coset_ntt(domain, cc)
+    hh = dv.sub(spec, dv.mont_mul(spec, ea, eb), ec)
+    hh = dv.mont_mul(spec, hh, jnp.broadcast_to(zh_inv, hh.shape))
+    return nttmod.coset_intt(domain, hh)
+
+
+def prove(pk: ProvingKey, cs: ConstraintSystem, rng=None) -> Proof:
+    """Groth16 prover: witness -> H(x) via coset NTTs -> classified MSMs."""
+    cfg = pairing_config(pk.curve)
+    rng = rng or frng.test_rng()
+    r_mod = cfg.r
+    mod = cfg.mod
+    g1, g2 = mod.G1, mod.G2
+    z = cs.values
+
+    rr = frng.field_element(rng, r_mod)
+    ss = frng.field_element(rng, r_mod)
+
+    # H coefficients
+    M = pk.domain_size
+    domain = nttmod.Domain.get(cfg.fr_spec, M)
+    a_ev, b_ev, c_ev = _matrix_evals(cs, M)
+    spec = cfg.fr_spec
+    da = jnp.asarray(spec.to_mont_host(a_ev))
+    db = jnp.asarray(spec.to_mont_host(b_ev))
+    dc = jnp.asarray(spec.to_mont_host(c_ev))
+    zh_inv = jnp.asarray(spec.mont_scalar(pow(domain.vanishing_on_coset(), -1, spec.p)))
+    h_coeffs = spec.from_mont_host(np.asarray(_h_kernel(domain, da, db, dc, zh_inv)))
+    h = h_coeffs[: M - 1]
+
+    # MSMs (device, scalar-classified)
+    a_acc = msmmod.msm(pk.a_query, [z[i] for i in pk.a_nonzero], r_mod)
+    b1_acc = msmmod.msm(pk.b_g1_query, [z[i] for i in pk.b_nonzero], r_mod)
+    b2_acc = msmmod.msm(pk.b_g2_query, [z[i] for i in pk.b_nonzero], r_mod)
+    h_acc = msmmod.msm(pk.h_query, h, r_mod)
+    l_acc = msmmod.msm(pk.l_query, z[pk.num_instance :], r_mod)
+
+    # assemble (host single-point arithmetic)
+    A = g1.add(g1.add(pk.vk.alpha_g1, a_acc), g1.mul(rr, pk.delta_g1))
+    B2 = g2.add(g2.add(pk.vk.beta_g2, b2_acc), g2.mul(ss, pk.vk.delta_g2))
+    B1 = g1.add(g1.add(pk.beta_g1, b1_acc), g1.mul(ss, pk.delta_g1))
+    C = l_acc
+    C = g1.add(C, h_acc)
+    C = g1.add(C, g1.mul(ss, A))
+    C = g1.add(C, g1.mul(rr, B1))
+    C = g1.add(C, g1.mul((-rr * ss) % r_mod, pk.delta_g1))
+    return Proof(curve=pk.curve, a=A, b=B2, c=C)
+
+
+def verify(vk: VerifyingKey, public_inputs: list[int], proof: Proof) -> bool:
+    """3-pairing product check on host: e(A,B) = e(alpha,beta) e(IC,gamma) e(C,delta).
+
+    Public inputs exclude the leading ONE (as in ark: verify(&vk, &[root,
+    leaf], &proof), pedersen381/mod.rs:70-71).
+    """
+    cfg = pairing_config(vk.curve)
+    mod = cfg.mod
+    g1 = mod.G1
+    assert len(public_inputs) + 1 == len(vk.gamma_abc_g1)
+    ic = vk.gamma_abc_g1[0]
+    for x, pt in zip(public_inputs, vk.gamma_abc_g1[1:]):
+        ic = g1.add(ic, g1.mul(int(x) % cfg.r, pt))
+    # e(A,B) * e(-alpha,beta) * e(-IC,gamma) * e(-C,delta) == 1
+    one = mod.multi_pairing(
+        [
+            (proof.a, proof.b),
+            (g1.neg(vk.alpha_g1), vk.beta_g2),
+            (g1.neg(ic), vk.gamma_g2),
+            (g1.neg(proof.c), vk.delta_g2),
+        ]
+    )
+    return one == type(one).one()

@@ -1,0 +1,645 @@
+"""Marlin: universal setup, AHP indexer, prover, verifier (KZG-committed).
+
+Capability parity with `ark-marlin` as the reference benches drive it
+(SURVEY.md sections 2.2/3.2; /root/reference/benches/marlin.rs:94-333 and
+src/examples/marlin.rs:69-84): universal_setup(num_constraints, num_vars,
+num_non_zero) -> index -> prove -> verify, including the universal-SRS mode
+where one index at the max size serves smaller (padded) registrar states
+(benches/marlin.rs:147-172 semantics — padding is the app's job).
+
+AHP construction (Marlin paper; self-consistent conventions, documented
+inline since the ark byte transcript is not reproducible here):
+
+  H  (size n = 2^k >= max(#constraints, #vars)) indexes rows AND columns;
+  X subset H (size = 2^k' >= #instance) holds the public input positions:
+  variable i < n_x sits at H-position i * (n / n_x), so X is the subgroup
+  of index n/n_x and the verifier can evaluate x_hat itself.
+
+  z(X) = w_hat(X) * v_X(X) + x_hat(X)
+  round 1: commit w_hat, z_A_hat, z_B_hat           (z_C = z_A . z_B on H)
+  round 2 (alpha, eta_*): outer sumcheck over H
+     q_1(X) = r(alpha,X) (eta_A z_A + eta_B z_B + eta_C z_A z_B)(X)
+              - t(X) z(X),   sum_H q_1 = 0
+     q_1 = h_1 v_H + X g_1,  commit h_1, g_1 (bound n-2)
+     t(Y) = sum_M eta_M r_M(alpha, Y),  r(x,y) = (v_H(x)-v_H(y))/(x-y)
+  round 3 (beta1): inner sumcheck over K (size >= max nnz):
+     sigma3 = t(beta1) = sum_K f,  f(kappa) = sum_M eta_M v_H(alpha)
+       v_H(beta1) val_M(kappa) / ((alpha - row_M(kappa))(beta1 - col_M(kappa)))
+     f_hat = X g_2 + sigma3/|K|   (commit g_2, bound |K|-2)
+     a(X) - b(X) f_hat(X) = h_2(X) v_K(X)  (commit h_2)
+  queries: beta1 on {w_hat, z_A, z_B, g_1, h_1}, beta2 on {g_2, h_2,
+  row/col/val x3}; openings batched per point; degree bounds enforced via
+  shifted commitments opened at the same points (v_shift = v * q^(D-d)).
+
+Note: this round ships the non-hiding variant (commitments deterministic);
+zk masking terms are scheduled work — the reference's Marlin is zk.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from zkmember_tpu.fields import device as dv
+from zkmember_tpu import ntt as nttmod
+from zkmember_tpu.snark import kzg
+from zkmember_tpu.snark.groth16 import pairing_config
+from zkmember_tpu.snark.transcript import Transcript
+from zkmember_tpu.r1cs.cs import ConstraintSystem
+from zkmember_tpu.utils import poly as hp
+from zkmember_tpu.utils import rng as frng
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, (x - 1).bit_length())
+
+
+# ---------------------------------------------------------------------------
+# polynomial transform engine: device NTT for big sizes, host for small
+# ---------------------------------------------------------------------------
+
+
+class PolyEngine:
+    """NTT dispatch: device limb-plane kernels above the size threshold."""
+
+    DEVICE_THRESHOLD = 1 << 11
+
+    def __init__(self, spec: dv.FieldSpec):
+        self.spec = spec
+        self.p = spec.p
+
+    def _w(self, size: int) -> int:
+        return pow(
+            self.spec.two_adic_root,
+            (1 << self.spec.two_adicity) // size,
+            self.p,
+        )
+
+    def ntt(self, coeffs: list[int], size: int) -> list[int]:
+        vals = list(coeffs) + [0] * (size - len(coeffs))
+        if size >= self.DEVICE_THRESHOLD:
+            dom = nttmod.Domain.get(self.spec, size)
+            out = nttmod.ntt(dom, jnp.asarray(self.spec.to_mont_host(vals)))
+            return self.spec.from_mont_host(np.asarray(out))
+        return hp.host_ntt(vals, self._w(size), self.p)
+
+    def intt(self, evals: list[int]) -> list[int]:
+        size = len(evals)
+        if size >= self.DEVICE_THRESHOLD:
+            dom = nttmod.Domain.get(self.spec, size)
+            out = nttmod.intt(dom, jnp.asarray(self.spec.to_mont_host(evals)))
+            return self.spec.from_mont_host(np.asarray(out))
+        return hp.host_intt(evals, self._w(size), self.p)
+
+
+# ---------------------------------------------------------------------------
+# containers
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class IndexInfo:
+    curve: str
+    n_h: int  # |H|
+    n_k: int  # |K|
+    n_x: int  # |X|
+    num_instance: int
+
+
+@dataclass
+class IndexVerifierKey:
+    info: IndexInfo
+    pp: kzg.UniversalParams
+    matrix_comms: dict  # {"A": (row, col, val) Commitments, ...}
+
+
+@dataclass
+class IndexProverKey:
+    info: IndexInfo
+    pp: kzg.UniversalParams
+    ivk: IndexVerifierKey
+    entries: dict  # {"A": [(row_pos, col_pos, val)], ...} with H positions
+    matrix_polys: dict  # {"A": (row_coeffs, col_coeffs, valhat_coeffs)}
+    var_pos: list[int]  # variable index -> H position
+
+
+@dataclass
+class MarlinProof:
+    curve: str
+    comms1: tuple  # (w_hat, z_A, z_B) commitments
+    comms2: tuple  # (g_1 [bounded], h_1)
+    comms3: tuple  # (g_2 [bounded], h_2)
+    sigma3: int
+    evals_beta1: dict  # name -> value
+    evals_beta2: dict
+    proof_beta1: kzg.OpeningProof  # batched
+    proof_beta2: kzg.OpeningProof
+
+
+# ---------------------------------------------------------------------------
+# universal setup + indexer
+# ---------------------------------------------------------------------------
+
+
+def max_degree_bound(num_constraints: int, num_variables: int, num_non_zero: int) -> int:
+    """SRS degree covering every committed polynomial: dominated by h_2
+    (deg 6|K| - 7); the universal bounds mirror benches/marlin.rs:297-303
+    (callers pass next-power-of-two sizes)."""
+    n_k = _next_pow2(max(num_non_zero, 2))
+    n_h = _next_pow2(max(num_constraints, num_variables, 2))
+    return max(6 * n_k, 3 * n_h)
+
+
+def universal_setup(
+    num_constraints: int,
+    num_variables: int,
+    num_non_zero: int,
+    curve: str = "bls12_381",
+    rng=None,
+) -> kzg.UniversalParams:
+    """Marlin::universal_setup (benches/marlin.rs:297-303, SURVEY.md 3.2)."""
+    d = max_degree_bound(num_constraints, num_variables, num_non_zero)
+    return kzg.setup(d, curve=curve, rng=rng or frng.test_rng())
+
+
+def index(pp: kzg.UniversalParams, cs: ConstraintSystem, curve: str = "bls12_381"):
+    """AHP indexer: arithmetize A/B/C into row/col/val polys + commitments.
+
+    Bound invariants (benches/marlin.rs:150-156): the circuit must satisfy
+    rows <= , vars <=, nnz <= the universal_setup sizes or commit() asserts.
+    """
+    cfg = pairing_config(curve)
+    r = cfg.r
+    ni, nv, nc = cs.num_instance, cs.num_variables, cs.num_constraints
+    n_x = _next_pow2(ni)
+    # n_h must hold: all constraints, all variables PLUS the unused X slots
+    # (witnesses may not occupy X positions — see var_pos below), and X twice.
+    n_h = _next_pow2(max(nc, nv + n_x - ni, n_x * 2))
+    nnz = max(
+        sum(len(lc) for lc in cs.A),
+        sum(len(lc) for lc in cs.B),
+        sum(len(lc) for lc in cs.C),
+        2,
+    )
+    n_k = _next_pow2(nnz)
+    info = IndexInfo(curve=curve, n_h=n_h, n_k=n_k, n_x=n_x, num_instance=ni)
+
+    spec = cfg.fr_spec
+    p = spec.p
+    w_h = pow(spec.two_adic_root, (1 << spec.two_adicity) // n_h, p)
+
+    # variable -> H position: instance i at i*(n_h/n_x) (X = the index-n/nx
+    # subgroup); witnesses must avoid ALL X positions (z - x_hat has to
+    # vanish on X, and x_hat is zero on the unused X slots) and fill the
+    # remaining H slots in order.
+    stride = n_h // n_x
+    x_positions = {i * stride for i in range(n_x)}
+    var_pos = [0] * nv
+    for i in range(ni):
+        var_pos[i] = i * stride
+    free = [j for j in range(n_h) if j not in x_positions]
+    for k, i in enumerate(range(ni, nv)):
+        var_pos[i] = free[k]
+
+    # H powers table
+    wpow = [1] * n_h
+    for j in range(1, n_h):
+        wpow[j] = wpow[j - 1] * w_h % p
+
+    engine = PolyEngine(spec)
+    n_h_inv = pow(n_h, -1, p)
+
+    def arithmetize(rows):
+        # (input binding needs no extra matrix rows in Marlin: the verifier
+        # evaluates x_hat itself and z = w_hat v_X + x_hat pins the instance)
+        entries = []
+        for j, lc in enumerate(rows):
+            for i, c in lc.items():
+                entries.append((j, var_pos[i], c % p))
+        assert len(entries) <= n_k, (len(entries), n_k)
+        row_e = [1] * n_k  # pad with H-identity (val 0)
+        col_e = [1] * n_k
+        val_e = [0] * n_k
+        valhat_e = [0] * n_k
+        for k, (j, pos, c) in enumerate(entries):
+            row_e[k] = wpow[j % n_h]
+            col_e[k] = wpow[pos]
+            val_e[k] = c
+            # val_hat = val / u_H(col, col), u_H(c,c) = n_h * c^{n_h-1} = n_h / c
+            valhat_e[k] = c * wpow[pos] % p * n_h_inv % p
+        row_c = engine.intt(row_e)
+        col_c = engine.intt(col_e)
+        valhat_c = engine.intt(valhat_e)
+        return entries, (row_c, col_c, valhat_c)
+
+    entries, polys, comms = {}, {}, {}
+    for name, rows in (("A", cs.A), ("B", cs.B), ("C", cs.C)):
+        e, po = arithmetize(rows)
+        entries[name] = e
+        polys[name] = po
+        comms[name] = tuple(kzg.commit(pp, hp.trim(c) or [0]) for c in po)
+
+    ivk = IndexVerifierKey(info=info, pp=pp, matrix_comms=comms)
+    ipk = IndexProverKey(
+        info=info, pp=pp, ivk=ivk, entries=entries, matrix_polys=polys, var_pos=var_pos
+    )
+    return ipk, ivk
+
+
+# ---------------------------------------------------------------------------
+# prover
+# ---------------------------------------------------------------------------
+
+
+def _x_subdomain(spec, n_h: int, n_x: int):
+    p = spec.p
+    w_h = pow(spec.two_adic_root, (1 << spec.two_adicity) // n_h, p)
+    w_x = pow(w_h, n_h // n_x, p)
+    return [pow(w_x, i, p) for i in range(n_x)]
+
+
+def prove(ipk: IndexProverKey, cs: ConstraintSystem, rng=None) -> MarlinProof:
+    info = ipk.info
+    cfg = pairing_config(info.curve)
+    spec = cfg.fr_spec
+    p = cfg.r
+    n_h, n_k, n_x, ni = info.n_h, info.n_k, info.n_x, info.num_instance
+    engine = PolyEngine(spec)
+    pp = ipk.pp
+
+    # --- z over H, z_A/z_B/z_C evals --------------------------------------
+    z_evals = [0] * n_h
+    for i, v in enumerate(cs.values):
+        z_evals[ipk.var_pos[i]] = v % p
+    zm = {}
+    for name in ("A", "B", "C"):
+        ev = [0] * n_h
+        for (j, pos, c) in ipk.entries[name]:
+            # entry value c at (row j, col pos): contributes to (Mz)[j]
+            ev[j % n_h] = (ev[j % n_h] + c * z_evals[pos]) % p
+        zm[name] = ev
+    z_a, z_b, z_c = zm["A"], zm["B"], zm["C"]
+
+    # --- w_hat: (z_hat - x_hat) / v_X --------------------------------------
+    xs = _x_subdomain(spec, n_h, n_x)
+    x_vals = [cs.values[i] % p if i < ni else 0 for i in range(n_x)]
+    x_hat = hp.lagrange_interpolate(xs, x_vals, p)
+    z_hat = engine.intt(z_evals)
+    diff = hp.poly_add(z_hat, hp.poly_scale(x_hat, p - 1, p), p)
+    w_hat, rem = _divide_by_vanishing_exact(diff, n_x, p)
+    assert not hp.trim(rem), "z - x_hat must vanish on X"
+    za_hat = engine.intt(z_a)
+    zb_hat = engine.intt(z_b)
+
+    c_w = kzg.commit(pp, hp.trim(w_hat) or [0])
+    c_za = kzg.commit(pp, hp.trim(za_hat) or [0])
+    c_zb = kzg.commit(pp, hp.trim(zb_hat) or [0])
+
+    tr = Transcript(b"zkmember_tpu/marlin")
+    for i in range(ni):
+        tr.absorb_int(cs.values[i], 32)
+    for c in (c_w, c_za, c_zb):
+        tr.absorb_point(c.c)
+    alpha = tr.challenge(p)
+    eta = {"A": tr.challenge(p), "B": tr.challenge(p), "C": tr.challenge(p)}
+
+    # --- outer sumcheck -----------------------------------------------------
+    v_h_alpha = (pow(alpha, n_h, p) - 1) % p
+    # r(alpha, w^j) = v_H(alpha) / (alpha - w^j)
+    wpow = [1] * n_h
+    w_h = pow(spec.two_adic_root, (1 << spec.two_adicity) // n_h, p)
+    for j in range(1, n_h):
+        wpow[j] = wpow[j - 1] * w_h % p
+    denom = hp.batch_inverse([(alpha - w) % p for w in wpow], p)
+    r_alpha_h = [v_h_alpha * d % p for d in denom]
+
+    # t(Y) evals over H: sum_M eta_M sum_{entries} r(alpha, row) * val at col
+    t_evals = [0] * n_h
+    for name in ("A", "B", "C"):
+        e_m = eta[name]
+        for (j, pos, c) in ipk.entries[name]:
+            t_evals[pos] = (t_evals[pos] + e_m * r_alpha_h[j % n_h] % p * c) % p
+    t_hat = engine.intt(t_evals)
+
+    # q_1 on a 4n coset: evaluate everything there
+    big = 4 * n_h
+    r_alpha_coeffs = [pow(alpha, n_h - 1 - k, p) for k in range(n_h)]  # r(alpha, X)
+    ev = {
+        "za": engine.ntt(za_hat, big),
+        "zb": engine.ntt(zb_hat, big),
+        "z": engine.ntt(z_hat, big),
+        "t": engine.ntt(t_hat, big),
+        "ra": engine.ntt(r_alpha_coeffs, big),
+    }
+    # NOTE: plain (non-coset) NTT of size 4n is fine: we only need ANY 4n
+    # evaluation points to recover the degree <= 3n-3 polynomial q_1.
+    q1_ev = [
+        (
+            ev["ra"][i]
+            * ((eta["A"] * ev["za"][i] + eta["B"] * ev["zb"][i]
+                + eta["C"] * ev["za"][i] * ev["zb"][i]) % p)
+            - ev["t"][i] * ev["z"][i]
+        )
+        % p
+        for i in range(big)
+    ]
+    q1 = hp.trim(engine.intt(q1_ev))
+    h1, rem = hp.divide_by_vanishing(q1, n_h, p)
+    rem = hp.trim(rem)
+    assert not rem or rem[0] == 0, "outer sumcheck: sum over H != 0"
+    g1 = rem[1:] if len(rem) > 1 else [0]
+
+    c_g1 = kzg.commit(pp, g1, degree_bound=n_h - 2)
+    c_h1 = kzg.commit(pp, hp.trim(h1) or [0])
+    for c in (c_g1.c, c_g1.shifted, c_h1.c):
+        tr.absorb_point(c)
+    beta1 = tr.challenge(p)
+
+    # --- inner sumcheck -----------------------------------------------------
+    v_h_beta1 = (pow(beta1, n_h, p) - 1) % p
+    row_ev, col_ev, valhat_ev = {}, {}, {}
+    w_k = pow(spec.two_adic_root, (1 << spec.two_adicity) // n_k, p)
+    for name in ("A", "B", "C"):
+        row_c, col_c, valhat_c = ipk.matrix_polys[name]
+        row_ev[name] = engine.ntt(row_c, n_k)
+        col_ev[name] = engine.ntt(col_c, n_k)
+        valhat_ev[name] = engine.ntt(valhat_c, n_k)
+
+    f_ev = [0] * n_k
+    vv = v_h_alpha * v_h_beta1 % p
+    for name in ("A", "B", "C"):
+        dens = [
+            (alpha - row_ev[name][k]) * (beta1 - col_ev[name][k]) % p
+            for k in range(n_k)
+        ]
+        dinv = hp.batch_inverse(dens, p)
+        e_m = eta[name]
+        for k in range(n_k):
+            f_ev[k] = (f_ev[k] + e_m * vv % p * valhat_ev[name][k] % p * dinv[k]) % p
+    sigma3 = sum(f_ev) % p
+    f_hat = engine.intt(f_ev)
+    assert f_hat[0] == sigma3 * pow(n_k, -1, p) % p
+    g2 = hp.trim(f_hat[1:]) or [0]
+
+    # h_2 is built on a COSET of the 8K domain (v_K nonzero there) in
+    # _finish_prove, followed by commitments, queries and batched openings.
+    proof = _finish_prove(
+        ipk, cs, tr, pp, engine, p, spec,
+        (c_w, c_za, c_zb), (c_g1, c_h1),
+        w_hat, za_hat, zb_hat, g1, h1,
+        f_hat, g2, sigma3, alpha, eta, beta1, vv,
+    )
+    return proof
+
+
+def _divide_by_vanishing_exact(f, n, p):
+    return hp.divide_by_vanishing(f, n, p)
+
+
+def _finish_prove(
+    ipk, cs, tr, pp, engine, p, spec,
+    comms1, comms2,
+    w_hat, za_hat, zb_hat, g1, h1,
+    f_hat, g2, sigma3, alpha, eta, beta1, vv,
+):
+    """Round 3 onward: h_2 on a COSET of the 8K domain (v_K nonzero there),
+    then commitments, queries and batched openings."""
+    info = ipk.info
+    n_k = info.n_k
+    n_h = info.n_h
+    big_k = 8 * n_k
+    g = spec.mult_gen
+
+    def coset_ntt_host(coeffs, size):
+        scaled = [c * pow(g, i, p) % p for i, c in enumerate(coeffs + [0] * (size - len(coeffs)))]
+        return engine.ntt(scaled, size)
+
+    def coset_intt_host(evals):
+        size = len(evals)
+        coeffs = engine.intt(evals)
+        ginv = pow(g, -1, p)
+        return [c * pow(ginv, i, p) % p for i, c in enumerate(coeffs)]
+
+    rce = {n: coset_ntt_host(list(ipk.matrix_polys[n][0]), big_k) for n in ("A", "B", "C")}
+    cce = {n: coset_ntt_host(list(ipk.matrix_polys[n][1]), big_k) for n in ("A", "B", "C")}
+    vce = {n: coset_ntt_host(list(ipk.matrix_polys[n][2]), big_k) for n in ("A", "B", "C")}
+    f_big = coset_ntt_host(list(f_hat), big_k)
+    w_bigk = pow(spec.two_adic_root, (1 << spec.two_adicity) // big_k, p)
+    vk_cycle = [(pow(g, n_k, p) * pow(w_bigk, i * n_k, p) - 1) % p for i in range(8)]
+    vk_inv = hp.batch_inverse(vk_cycle, p)
+    h2_ev = [0] * big_k
+    for i in range(big_k):
+        b_m = {}
+        for n in ("A", "B", "C"):
+            b_m[n] = (alpha - rce[n][i]) * (beta1 - cce[n][i]) % p
+        b_all = b_m["A"] * b_m["B"] % p * b_m["C"] % p
+        a_val = 0
+        for n in ("A", "B", "C"):
+            others = 1
+            for m in ("A", "B", "C"):
+                if m != n:
+                    others = others * b_m[m] % p
+            a_val = (a_val + eta[n] * vv % p * vce[n][i] % p * others) % p
+        h2_ev[i] = (a_val - b_all * f_big[i]) % p * vk_inv[i % 8] % p
+    h2 = hp.trim(coset_intt_host(h2_ev)) or [0]
+
+    c_g2 = kzg.commit(pp, g2, degree_bound=n_k - 2)
+    c_h2 = kzg.commit(pp, h2)
+    tr.absorb_int(sigma3, 48)
+    for c in (c_g2.c, c_g2.shifted, c_h2.c):
+        tr.absorb_point(c)
+    beta2 = tr.challenge(p)
+
+    # --- openings -----------------------------------------------------------
+    D = pp.max_degree
+    c_w, c_za, c_zb = comms1
+    c_g1, c_h1 = comms2
+
+    def shifted_poly(coeffs, bound):
+        return [0] * (D - bound) + list(coeffs)
+
+    beta1_set = [
+        ("w_hat", hp.trim(w_hat) or [0], c_w),
+        ("z_a", hp.trim(za_hat) or [0], c_za),
+        ("z_b", hp.trim(zb_hat) or [0], c_zb),
+        ("g_1", g1, c_g1),
+        ("g_1_shift", shifted_poly(g1, n_h - 2), None),
+        ("h_1", hp.trim(h1) or [0], c_h1),
+    ]
+    beta2_set = [
+        ("g_2", g2, c_g2),
+        ("g_2_shift", shifted_poly(g2, n_k - 2), None),
+        ("h_2", h2, c_h2),
+    ]
+    for n in ("A", "B", "C"):
+        row_c, col_c, valhat_c = ipk.matrix_polys[n]
+        beta2_set += [
+            (f"row_{n}", hp.trim(row_c) or [0], None),
+            (f"col_{n}", hp.trim(col_c) or [0], None),
+            (f"val_{n}", hp.trim(valhat_c) or [0], None),
+        ]
+
+    def batch_open(point, polys):
+        evals = {}
+        for name, coeffs, _ in polys:
+            evals[name] = hp.poly_eval(coeffs, point, p)
+        for name in sorted(evals):
+            tr.absorb_int(evals[name], 48)
+        xi = tr.challenge(p)
+        # combined quotient: sum xi^k (p_k(X) - v_k) / (X - point)
+        acc = [0]
+        x = 1
+        for name, coeffs, _ in polys:
+            q = kzg._synthetic_division(coeffs, point, p)
+            acc = hp.poly_add(acc, hp.poly_scale(q, x, p), p)
+            x = x * xi % p
+        w = kzg._msm_powers(pp, hp.trim(acc) or [0])
+        return evals, kzg.OpeningProof(w=w), xi
+
+    evals1, prf1, _ = batch_open(beta1, beta1_set)
+    evals2, prf2, _ = batch_open(beta2, beta2_set)
+
+    return MarlinProof(
+        curve=info.curve,
+        comms1=(c_w, c_za, c_zb),
+        comms2=(c_g1, c_h1),
+        comms3=(c_g2, c_h2),
+        sigma3=sigma3,
+        evals_beta1=evals1,
+        evals_beta2=evals2,
+        proof_beta1=prf1,
+        proof_beta2=prf2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# verifier
+# ---------------------------------------------------------------------------
+
+
+def verify(ivk: IndexVerifierKey, public_inputs: list[int], proof: MarlinProof) -> bool:
+    info = ivk.info
+    cfg = pairing_config(info.curve)
+    spec = cfg.fr_spec
+    p = cfg.r
+    n_h, n_k, n_x, ni = info.n_h, info.n_k, info.n_x, info.num_instance
+    pp = ivk.pp
+    mod = cfg.mod
+    g1c = mod.G1
+
+    c_w, c_za, c_zb = proof.comms1
+    c_g1, c_h1 = proof.comms2
+    c_g2, c_h2 = proof.comms3
+
+    # replay transcript
+    tr = Transcript(b"zkmember_tpu/marlin")
+    full_inputs = [1] + [v % p for v in public_inputs]
+    if len(full_inputs) != ni:
+        return False
+    for v in full_inputs:
+        tr.absorb_int(v, 32)
+    for c in (c_w, c_za, c_zb):
+        tr.absorb_point(c.c)
+    alpha = tr.challenge(p)
+    eta = {"A": tr.challenge(p), "B": tr.challenge(p), "C": tr.challenge(p)}
+    for c in (c_g1.c, c_g1.shifted, c_h1.c):
+        tr.absorb_point(c)
+    beta1 = tr.challenge(p)
+    tr.absorb_int(proof.sigma3, 48)
+    for c in (c_g2.c, c_g2.shifted, c_h2.c):
+        tr.absorb_point(c)
+    beta2 = tr.challenge(p)
+
+    e1 = proof.evals_beta1
+    e2 = proof.evals_beta2
+    for name in sorted(e1):
+        tr.absorb_int(e1[name], 48)
+    xi1 = tr.challenge(p)
+    for name in sorted(e2):
+        tr.absorb_int(e2[name], 48)
+    xi2 = tr.challenge(p)
+
+    # --- outer sumcheck equation at beta1 ----------------------------------
+    v_h_alpha = (pow(alpha, n_h, p) - 1) % p
+    v_h_beta1 = (pow(beta1, n_h, p) - 1) % p
+    v_x_beta1 = (pow(beta1, n_x, p) - 1) % p
+    xs = _x_subdomain(spec, n_h, n_x)
+    x_vals = full_inputs + [0] * (n_x - ni)
+    x_hat_beta1 = hp.poly_eval(hp.lagrange_interpolate(xs, x_vals, p), beta1, p)
+    z_beta1 = (e1["w_hat"] * v_x_beta1 + x_hat_beta1) % p
+    r_alpha_beta1 = (v_h_alpha - v_h_beta1) * pow((alpha - beta1) % p, -1, p) % p
+    lhs = (e1["h_1"] * v_h_beta1 + beta1 * e1["g_1"]) % p
+    rhs = (
+        r_alpha_beta1
+        * ((eta["A"] * e1["z_a"] + eta["B"] * e1["z_b"]
+            + eta["C"] * e1["z_a"] * e1["z_b"]) % p)
+        - proof.sigma3 * z_beta1
+    ) % p
+    if lhs != rhs:
+        return False
+
+    # --- inner sumcheck equation at beta2 ----------------------------------
+    v_k_beta2 = (pow(beta2, n_k, p) - 1) % p
+    vv = v_h_alpha * v_h_beta1 % p
+    b_m = {}
+    for n in ("A", "B", "C"):
+        b_m[n] = (alpha - e2[f"row_{n}"]) * (beta1 - e2[f"col_{n}"]) % p
+    b_all = b_m["A"] * b_m["B"] % p * b_m["C"] % p
+    a_val = 0
+    for n in ("A", "B", "C"):
+        others = 1
+        for m in ("A", "B", "C"):
+            if m != n:
+                others = others * b_m[m] % p
+        a_val = (a_val + eta[n] * vv % p * e2[f"val_{n}"] % p * others) % p
+    f_beta2 = (beta2 * e2["g_2"] + proof.sigma3 * pow(n_k, -1, p)) % p
+    if (a_val - b_all * f_beta2) % p != e2["h_2"] * v_k_beta2 % p:
+        return False
+
+    # --- degree-bound consistency -------------------------------------------
+    D = pp.max_degree
+    if e1["g_1_shift"] != e1["g_1"] * pow(beta1, D - (n_h - 2), p) % p:
+        return False
+    if e2["g_2_shift"] != e2["g_2"] * pow(beta2, D - (n_k - 2), p) % p:
+        return False
+
+    # --- batched KZG pairing checks ------------------------------------------
+    def batch_check(point, items, evals, prf, xi):
+        acc_c, acc_v, x = None, 0, 1
+        for name, comm in items:
+            acc_c = g1c.add(acc_c, g1c.mul(x, comm)) if comm is not None else acc_c
+            acc_v = (acc_v + x * evals[name]) % p
+            x = x * xi % p
+        lhs_pt = g1c.add(acc_c, g1c.neg(g1c.mul(acc_v, pp.g)))
+        rhs_g2 = mod.G2.add(pp.beta_h, mod.G2.neg(mod.G2.mul(point % p, pp.h)))
+        if prf.w is None:
+            return lhs_pt is None
+        one = mod.multi_pairing([(lhs_pt, pp.h), (g1c.neg(prf.w), rhs_g2)])
+        return one == type(one).one()
+
+    items1 = [
+        ("w_hat", c_w.c),
+        ("z_a", c_za.c),
+        ("z_b", c_zb.c),
+        ("g_1", c_g1.c),
+        ("g_1_shift", c_g1.shifted),
+        ("h_1", c_h1.c),
+    ]
+    items2 = [
+        ("g_2", c_g2.c),
+        ("g_2_shift", c_g2.shifted),
+        ("h_2", c_h2.c),
+    ]
+    for n in ("A", "B", "C"):
+        items2 += [
+            (f"row_{n}", ivk.matrix_comms[n][0].c),
+            (f"col_{n}", ivk.matrix_comms[n][1].c),
+            (f"val_{n}", ivk.matrix_comms[n][2].c),
+        ]
+    if not batch_check(beta1, items1, e1, proof.proof_beta1, xi1):
+        return False
+    if not batch_check(beta2, items2, e2, proof.proof_beta2, xi2):
+        return False
+    return True
