@@ -16,11 +16,16 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/zkmember_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+def _enable_compile_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/zkmember_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 
 def main():
+    _enable_compile_cache()
     members = int(os.environ.get("BENCH_MEMBERS", "16"))
     # report.pdf p6 Fig 7 (MacBook Pro): ~300 ms at 16 -> ~620 ms at 1024
     baseline_s = {16: 0.300, 50: 0.380, 64: 0.400, 100: 0.450, 128: 0.470,

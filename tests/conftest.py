@@ -22,7 +22,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: XLA compiles of the big unrolled limb
-# kernels dominate suite wall time on small hosts; cache them across runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/zkmember_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# Persistent compilation cache: XLA compiles of the limb kernels dominate
+# suite wall time on small hosts; cache them across runs.  Env-var mapping
+# does not engage in this container, so use the config API directly.
+jax.config.update("jax_compilation_cache_dir", "/tmp/zkmember_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")

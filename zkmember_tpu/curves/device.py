@@ -165,18 +165,13 @@ def sw_scalar_mul_windowed(F, digits, P, c_bits: int = 4):
     nwin = digits.shape[-1]
     T = 1 << c_bits
     inf = sw_infinity(F, _batch_shape(F, P[0]))
-    table = [inf, P]
-    for j in range(2, T):
-        table.append(sw_add(F, table[-1], P))
 
-    def stack(coord_list):
-        if isinstance(coord_list[0], tuple):
-            return tuple(stack([c[i] for c in coord_list]) for i in range(len(coord_list[0])))
-        return jnp.stack(coord_list, axis=0)
+    # small-multiple table [0]P..[T-1]P via a scan (one add in the trace)
+    def tstep(prev, _):
+        return sw_add(F, prev, P), prev
 
-    TX = stack([t[0] for t in table])
-    TY = stack([t[1] for t in table])
-    TZ = stack([t[2] for t in table])
+    _, tab = lax.scan(tstep, inf, None, length=T)
+    TX, TY, TZ = tab  # leading axis T: entry j = [j]P
 
     acc0 = inf
     digits_t = jnp.moveaxis(digits, -1, 0)  # (nwin, B)
@@ -210,12 +205,14 @@ def sw_tree_reduce(F, P):
     """Sum a batch of Jacobian points along axis 0 via log2 rounds of adds.
 
     P coords have shape (B, ..., n); B need not be a power of two.
-    Returns the total as a point with batch shape (...)."""
+    Returns the total as a point with batch shape (...).
+
+    Implemented as a lax.scan of log2(B) even/odd halving rounds on a
+    FIXED-width buffer (tail slots refilled with infinity), so the trace
+    holds exactly one batched addition regardless of B.
+    """
     X, Y, Z = P
     B = X.shape[0] if not isinstance(X, tuple) else X[0].shape[0]
-
-    def first_axis_len(c):
-        return c[0].shape[0] if isinstance(c, tuple) else c.shape[0]
 
     def pad_to(c, m):
         if isinstance(c, tuple):
@@ -229,26 +226,42 @@ def sw_tree_reduce(F, P):
     if m != B:
         # pad with infinity: Z=0 rows; X/Y zeros are fine
         X, Y, Z = pad_to(X, m), pad_to(Y, m), pad_to(Z, m)
+    if m == 1:
+        return tuple(
+            c[0] if not isinstance(c, tuple) else tuple(ci[0] for ci in c)
+            for c in (X, Y, Z)
+        )
 
-    def half(c):
+    def even(c):
         if isinstance(c, tuple):
-            return tuple(half(ci) for ci in c)
-        return c
+            return tuple(even(ci) for ci in c)
+        return c[0::2]
 
-    cur = (X, Y, Z)
-    size = m
-    while size > 1:
-        size //= 2
+    def odd(c):
+        if isinstance(c, tuple):
+            return tuple(odd(ci) for ci in c)
+        return c[1::2]
 
-        def take(c, lo, ln):
-            if isinstance(c, tuple):
-                return tuple(take(ci, lo, ln) for ci in c)
-            return c[lo : lo + ln]
+    def refill(c, filler):
+        # (m/2,...) result back to (m,...): tail = infinity filler
+        if isinstance(c, tuple):
+            return tuple(refill(ci, fi) for ci, fi in zip(c, filler))
+        return jnp.concatenate([c, filler], axis=0)
 
-        left = tuple(take(c, 0, size) for c in cur)
-        right = tuple(take(c, size, size) for c in cur)
-        cur = sw_add(F, left, right)
-    return tuple(c[0] if not isinstance(c, tuple) else tuple(ci[0] for ci in c) for c in cur)
+    inf_half = sw_infinity(F, (m // 2,) + _batch_shape(F, X)[1:])
+    rounds = m.bit_length() - 1
+
+    def body(cur, _):
+        left = tuple(even(c) for c in cur)
+        right = tuple(odd(c) for c in cur)
+        s = sw_add(F, left, right)
+        cur = tuple(refill(c, f) for c, f in zip(s, inf_half))
+        return cur, None
+
+    cur, _ = lax.scan(body, (X, Y, Z), None, length=rounds)
+    return tuple(
+        c[0] if not isinstance(c, tuple) else tuple(ci[0] for ci in c) for c in cur
+    )
 
 
 def sw_msm(F, scalar_bits, P):

@@ -32,6 +32,18 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, (x - 1).bit_length())
 
 
+# Minimum device batch: collapses small-size classes into one compiled
+# kernel shape (padding is cheap on TPU; recompiles are not).  Kept small by
+# default so the CPU test suite doesn't pay 4x padded compute on toy MSMs.
+import os as _os
+
+MIN_BATCH = int(_os.environ.get("ZKMEMBER_MIN_BATCH", "16"))
+
+
+def _pad_size(x: int) -> int:
+    return max(MIN_BATCH, _next_pow2(max(x, 1)))
+
+
 class PointArray:
     """A device-resident array of affine points with host mirrors.
 
@@ -187,14 +199,14 @@ def msm(points: PointArray, scalars, order: int, nbits: int | None = None):
     curve, F = points.curve, points.F
     total = None
     if ones_idx:
-        m = _next_pow2(len(ones_idx))
+        m = _pad_size(len(ones_idx))
         sel = points.take(np.array(ones_idx, np.int64)).pad_to(m)
         mask = np.zeros(m, np.uint32)
         mask[: len(ones_idx)] = 1
         J = _msm_bool_kernel(F, jnp.asarray(mask), sel.x, sel.y)
         total = _host_add(curve, total, _jac_to_host(F, None, curve, J))
     if gen_idx:
-        m = _next_pow2(len(gen_idx))
+        m = _pad_size(len(gen_idx))
         sel = points.take(np.array(gen_idx, np.int64)).pad_to(m)
         nwin = (nbits + WINDOW_BITS - 1) // WINDOW_BITS
         digits = np.zeros((m, nwin), np.uint32)

@@ -207,7 +207,7 @@ def _fixed_base_mul(cfg, F, base_host, curve, scalars, g2=False):
         return []
     TX, TY, TZ, nwin = _fixed_base_table(cfg, base_host, curve, g2)
     B = len(scalars)
-    m = msmmod._next_pow2(max(B, 1))
+    m = msmmod._pad_size(B)
     c = msmmod.WINDOW_BITS
     digits = np.zeros((m, nwin), np.uint32)
     dg = msmmod.scalars_to_digits_np([s % r for s in scalars], nwin * c)
