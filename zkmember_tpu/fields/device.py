@@ -190,45 +190,69 @@ def _full_mul_columns(a, b, n: int, out_len: int):
     return cols.astype(jnp.uint32)
 
 
+def _ks_carry_op(a, b):
+    """Kogge-Stone combine for (generate, propagate) carry flags.
+
+    a = earlier-limb prefix state, b = later element; both (G, P) bool.
+    """
+    ga, pa = a
+    gb, pb = b
+    return (jnp.logical_or(gb, jnp.logical_and(pb, ga)), jnp.logical_and(pb, pa))
+
+
+def _ks_add_digits(s, want_carry_out: bool = False):
+    """Exact carry propagation of digit sums s_i < 2^17 into 16-bit limbs.
+
+    Log-depth (Kogge-Stone over generate/propagate flags via
+    lax.associative_scan) instead of a sequential ripple scan — the carry
+    chain is on the critical path of EVERY field op, so depth here sets the
+    sequential-op budget of the whole prover.  Exact because each s_i + 1 <
+    2^17, so carries are 0/1 and generate/propagate are well-defined.
+    """
+    G = s > LIMB_MASK
+    P = s == LIMB_MASK
+    Gc, _ = lax.associative_scan(_ks_carry_op, (G, P), axis=-1)
+    cin = jnp.pad(
+        Gc[..., :-1], [(0, 0)] * (s.ndim - 1) + [(1, 0)]
+    )
+    out = (s + cin.astype(jnp.uint32)) & LIMB_MASK
+    if want_carry_out:
+        return out, Gc[..., -1].astype(jnp.uint32)
+    return out
+
+
 def _carry(cols, out_len: int):
-    """Sequential carry propagation: columns (< 2^23) -> 16-bit limbs.
+    """Carry propagation: columns (< 2^23) -> 16-bit limbs, log depth.
 
     Returns (..., out_len) uint32 with all limbs < 2^16.  Carries beyond
     out_len are dropped (callers size out_len so this is exact or wraps
-    mod 2^(16*out_len) intentionally).  lax.scan over the limb axis keeps
-    the trace constant-size; each step is a batch-wide VPU op.
+    mod 2^(16*out_len) intentionally).  Two steps: (1) local split of each
+    column into a 16-bit digit + a < 2^7 carry into the next column, giving
+    digit sums < 2^16 + 2^7; (2) one Kogge-Stone 0/1-carry addition.
     """
     L = cols.shape[-1]
     if L < out_len:
         cols = jnp.pad(cols, [(0, 0)] * (cols.ndim - 1) + [(0, out_len - L)])
     else:
         cols = cols[..., :out_len]
-    cols_t = jnp.moveaxis(cols, -1, 0)  # (out_len, ...)
-
-    def step(carry, c):
-        c = c + carry
-        return c >> LIMB_BITS, c & LIMB_MASK
-
-    _, limbs = lax.scan(step, jnp.zeros(cols.shape[:-1], jnp.uint32), cols_t)
-    return jnp.moveaxis(limbs, 0, -1)
+    p = cols & LIMB_MASK
+    g = cols >> LIMB_BITS  # < 2^7 for column sums < 2^23
+    gs = jnp.pad(g[..., :-1], [(0, 0)] * (cols.ndim - 1) + [(1, 0)])
+    return _ks_add_digits(p + gs)
 
 
 def _sub_limbs(a, b, n: int):
-    """(a - b) over n 16-bit limbs with borrow chain.
-
-    Returns (diff_limbs, borrow) where borrow is 1 iff a < b.
-    Signed int32 columns with arithmetic-shift borrow propagation, scanned
-    over the limb axis.
+    """(a - b) over n 16-bit limbs; returns (diff_limbs, borrow), borrow=1
+    iff a < b.  Complement addition a + (~b) + 1 with the same log-depth
+    Kogge-Stone carry as _carry; borrow = 1 - carry_out.
     """
-    d = a.astype(jnp.int32) - b.astype(jnp.int32)  # (..., n) in (-2^16, 2^16)
-    d_t = jnp.moveaxis(d, -1, 0)
-
-    def step(borrow, c):
-        c = c - borrow
-        return (c >> LIMB_BITS) & 1, (c & LIMB_MASK)
-
-    borrow, limbs = lax.scan(step, jnp.zeros(a.shape[:-1], jnp.int32), d_t)
-    return jnp.moveaxis(limbs, 0, -1).astype(jnp.uint32), borrow
+    comp = jnp.uint32(LIMB_MASK) - b
+    s = a + comp
+    one0 = np.zeros(n, np.uint32)
+    one0[0] = 1
+    s = s + jnp.asarray(one0)
+    limbs, carry = _ks_add_digits(s, want_carry_out=True)
+    return limbs, (1 - carry).astype(jnp.int32)
 
 
 def _cond_sub_p(spec: FieldSpec, t, extra):

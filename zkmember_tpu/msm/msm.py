@@ -126,16 +126,28 @@ def scalars_to_bits_np(scalars, nbits: int) -> np.ndarray:
 WINDOW_BITS = 4
 
 
+def u64_rows_to_digits(rows: np.ndarray, nbits: int) -> np.ndarray:
+    """(B, nl) little-endian u64 scalar rows -> (B, nwin) 4-bit window
+    digits, most-significant window first (vectorized nibble split; the
+    per-scalar Python loop was a prove-path hotspot at domain sizes)."""
+    rows = np.ascontiguousarray(rows, "<u8")
+    b8 = rows.view(np.uint8)  # (B, nl*8) LE bytes
+    nib = np.empty((rows.shape[0], b8.shape[1] * 2), np.uint8)
+    nib[:, 0::2] = b8 & 0xF
+    nib[:, 1::2] = b8 >> 4
+    nwin = (nbits + WINDOW_BITS - 1) // WINDOW_BITS
+    assert nwin <= nib.shape[1]
+    return nib[:, nwin - 1 :: -1].astype(np.uint32)  # MSW first
+
+
 def scalars_to_digits_np(scalars, nbits: int, c: int = WINDOW_BITS) -> np.ndarray:
     """(B, ceil(nbits/c)) window digits, most-significant window first."""
+    assert c == WINDOW_BITS
     nwin = (nbits + c - 1) // c
-    out = np.zeros((len(scalars), nwin), dtype=np.uint32)
-    mask = (1 << c) - 1
-    for i, s in enumerate(scalars):
-        s = int(s)
-        for w in range(nwin):
-            out[i, nwin - 1 - w] = (s >> (c * w)) & mask
-    return out
+    nl = (nwin * c + 63) // 64
+    from zkmember_tpu import native as zknative
+
+    return u64_rows_to_digits(zknative.ints_to_u64(scalars, nl), nbits)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -185,32 +197,42 @@ def _expand0(c):
 def msm(points: PointArray, scalars, order: int, nbits: int | None = None):
     """sum_i scalars[i] * points[i] -> host affine point (or None).
 
-    scalars: python ints (mod `order`).  Classification: zeros dropped,
-    {0,1} handled by the masked tree reduction, the rest by batched
-    double-and-add.  Partial results combine on host (3 points max).
+    scalars: python ints (mod `order`) OR a (B, nl) little-endian u64
+    canonical-scalar numpy array (the prover's native path).  Classification
+    (vectorized): zeros dropped, {0,1} handled by the masked tree reduction,
+    the rest by batched windowed mul.  Partials combine on host (2 points).
     """
-    assert len(scalars) == len(points)
     if nbits is None:
         nbits = order.bit_length()
-    sc = [int(s) % order for s in scalars]
-    ones_idx = [i for i, s in enumerate(sc) if s == 1]
-    gen_idx = [i for i, s in enumerate(sc) if s > 1]
+    nl = (nbits + 63) // 64
+    if isinstance(scalars, np.ndarray) and scalars.dtype == np.uint64:
+        rows = np.ascontiguousarray(scalars, "<u8")
+    else:
+        from zkmember_tpu import native as zknative
+
+        rows = zknative.ints_to_u64([int(s) % order for s in scalars], nl)
+    assert rows.shape[0] == len(points)
+
+    is_zero = ~rows.any(axis=1)
+    is_one = (rows[:, 0] == 1) & ~rows[:, 1:].any(axis=1)
+    ones_idx = np.nonzero(is_one)[0]
+    gen_idx = np.nonzero(~is_zero & ~is_one)[0]
 
     curve, F = points.curve, points.F
     total = None
-    if ones_idx:
+    if ones_idx.size:
         m = _pad_size(len(ones_idx))
-        sel = points.take(np.array(ones_idx, np.int64)).pad_to(m)
+        sel = points.take(ones_idx.astype(np.int64)).pad_to(m)
         mask = np.zeros(m, np.uint32)
         mask[: len(ones_idx)] = 1
         J = _msm_bool_kernel(F, jnp.asarray(mask), sel.x, sel.y)
         total = _host_add(curve, total, _jac_to_host(F, None, curve, J))
-    if gen_idx:
+    if gen_idx.size:
         m = _pad_size(len(gen_idx))
-        sel = points.take(np.array(gen_idx, np.int64)).pad_to(m)
+        sel = points.take(gen_idx.astype(np.int64)).pad_to(m)
         nwin = (nbits + WINDOW_BITS - 1) // WINDOW_BITS
         digits = np.zeros((m, nwin), np.uint32)
-        digits[: len(gen_idx)] = scalars_to_digits_np([sc[i] for i in gen_idx], nbits)
+        digits[: len(gen_idx)] = u64_rows_to_digits(rows[gen_idx], nbits)
         J = _msm_general_kernel(F, jnp.asarray(digits), sel.x, sel.y)
         total = _host_add(curve, total, _jac_to_host(F, None, curve, J))
     return total

@@ -408,6 +408,42 @@ def _matrix_evals(cs: ConstraintSystem, M: int):
     return a, b, c
 
 
+def _matrix_evals_native(cs: ConstraintSystem, M: int, nf):
+    """Native-path matrix evaluation: CSR mont matvec -> (M, n16) mont planes.
+
+    Returns (da, db, dc) Montgomery 16-bit limb planes ready for the device
+    NTT pipeline, plus the z witness as canonical u64 rows (reused by the
+    proof MSM scalar classification).  The CSR structure + Montgomery
+    coefficients are circuit constants, cached on the cs instance.
+    """
+    from zkmember_tpu import native as zknative
+
+    nc, ni = cs.num_constraints, cs.num_instance
+    cache = getattr(cs, "_native_csr", None)
+    if cache is None:
+        (ia, ca, va), (ib, cb, vb), (ic, cc, vc) = cs.to_sparse()
+        cache = cs._native_csr = [
+            (ind, col, nf.to_mont(zknative.ints_to_u64(vals, nf.nl)))
+            for ind, col, vals in ((ia, ca, va), (ib, cb, vb), (ic, cc, vc))
+        ]
+    z_rows = zknative.ints_to_u64(cs.values, nf.nl)
+    z_mont = nf.to_mont(z_rows)
+
+    def eval_one(entry, instance_rows: bool):
+        ind, col, coeffs = entry
+        ev = nf.csr_matvec(ind, col, coeffs, z_mont)  # (nc, nl) mont
+        full = np.zeros((M, nf.nl), "<u8")
+        full[:nc] = ev
+        if instance_rows:
+            full[nc : nc + ni] = z_mont[:ni]
+        return jnp.asarray(zknative.u64_to_u16_planes(full))
+
+    da = eval_one(cache[0], True)
+    db = eval_one(cache[1], False)
+    dc = eval_one(cache[2], False)
+    return da, db, dc, z_rows
+
+
 @partial(jax.jit, static_argnums=(0,))
 def _h_kernel(domain: "nttmod.Domain", a, b, c, zh_inv):
     """Coset-evaluation H pipeline: coeffs of (AB - C)/Z_H (device)."""
@@ -436,23 +472,39 @@ def prove(pk: ProvingKey, cs: ConstraintSystem, rng=None) -> Proof:
     ss = frng.field_element(rng, r_mod)
 
     # H coefficients
+    from zkmember_tpu import native as zknative
+
     M = pk.domain_size
     domain = nttmod.Domain.get(cfg.fr_spec, M)
-    a_ev, b_ev, c_ev = _matrix_evals(cs, M)
     spec = cfg.fr_spec
-    da = jnp.asarray(spec.to_mont_host(a_ev))
-    db = jnp.asarray(spec.to_mont_host(b_ev))
-    dc = jnp.asarray(spec.to_mont_host(c_ev))
+    nf = zknative.NativeField.get(spec.p, spec.n)
+    if nf is not None:
+        da, db, dc, z_rows = _matrix_evals_native(cs, M, nf)
+    else:  # pure-Python fallback (no host toolchain)
+        a_ev, b_ev, c_ev = _matrix_evals(cs, M)
+        da = jnp.asarray(spec.to_mont_host(a_ev))
+        db = jnp.asarray(spec.to_mont_host(b_ev))
+        dc = jnp.asarray(spec.to_mont_host(c_ev))
+        z_rows = None
     zh_inv = jnp.asarray(spec.mont_scalar(pow(domain.vanishing_on_coset(), -1, spec.p)))
-    h_coeffs = spec.from_mont_host(np.asarray(_h_kernel(domain, da, db, dc, zh_inv)))
-    h = h_coeffs[: M - 1]
+    h_planes = np.asarray(_h_kernel(domain, da, db, dc, zh_inv))
+    if nf is not None:
+        h = nf.from_mont(zknative.u16_planes_to_u64(h_planes))[: M - 1]
+        za = z_rows[pk.a_nonzero]
+        zb = z_rows[pk.b_nonzero]
+        zl = z_rows[pk.num_instance :]
+    else:
+        h = spec.from_mont_host(h_planes)[: M - 1]
+        za = [z[i] for i in pk.a_nonzero]
+        zb = [z[i] for i in pk.b_nonzero]
+        zl = z[pk.num_instance :]
 
     # MSMs (device, scalar-classified)
-    a_acc = msmmod.msm(pk.a_query, [z[i] for i in pk.a_nonzero], r_mod)
-    b1_acc = msmmod.msm(pk.b_g1_query, [z[i] for i in pk.b_nonzero], r_mod)
-    b2_acc = msmmod.msm(pk.b_g2_query, [z[i] for i in pk.b_nonzero], r_mod)
+    a_acc = msmmod.msm(pk.a_query, za, r_mod)
+    b1_acc = msmmod.msm(pk.b_g1_query, zb, r_mod)
+    b2_acc = msmmod.msm(pk.b_g2_query, zb, r_mod)
     h_acc = msmmod.msm(pk.h_query, h, r_mod)
-    l_acc = msmmod.msm(pk.l_query, z[pk.num_instance :], r_mod)
+    l_acc = msmmod.msm(pk.l_query, zl, r_mod)
 
     # assemble (host single-point arithmetic)
     A = g1.add(g1.add(pk.vk.alpha_g1, a_acc), g1.mul(rr, pk.delta_g1))
