@@ -16,10 +16,14 @@ import os
 import sys
 import time
 
+
 def _enable_compile_cache():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/zkmember_jax_cache")
+    # keep the cache inside the repo: it survives across driver rounds,
+    # so cold remote-compile latency is paid once per kernel signature
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
@@ -34,21 +38,28 @@ def main():
     import random
 
     from zkmember_tpu.app import circuits as app
-    from zkmember_tpu.app.member import generate_members
+    from zkmember_tpu.app.member import Member, generate_members
     from zkmember_tpu.snark import groth16
     from zkmember_tpu.utils import rng as frng
 
     t0 = time.time()
+
+    def mark(msg):
+        print(f"# [{time.time()-t0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
     rng = frng.test_rng()
     cfg = app.get_config("pedersen381")
     leaf_params, node_params = cfg.setup_params(rng)
+    mark("pedersen params")
 
     ms = generate_members(members)
-    digests = [m.hash(leaf_params) for m in ms]
+    digests = Member.hash_batch(leaf_params, ms)
+    mark(f"{members} leaf digests")
     tree = app.new_membership_tree(leaf_params, node_params, digests)
     root = tree.root()
     idx = random.Random(0).randrange(members)
     path = tree.generate_proof(idx)
+    mark(f"tree depth {tree.depth} + path")
     circuit = app.MerkleTreeCircuit(
         config=cfg,
         leaf_params=leaf_params,
@@ -58,21 +69,22 @@ def main():
         authentication_path=path,
     )
     cs = circuit.generate_constraints()
-    print(f"# circuit: {cs.num_constraints} constraints, "
-          f"{cs.num_variables} vars, tree depth {tree.depth}", file=sys.stderr)
+    mark(f"circuit: {cs.num_constraints} constraints, {cs.num_variables} vars")
 
     pk, vk = groth16.setup(cs, curve="bls12_381", rng=rng)
-    print(f"# setup done at t={time.time()-t0:.1f}s", file=sys.stderr)
+    mark("groth16 setup")
 
     # warm-up prove (compiles all kernels), then timed prove
     proof = groth16.prove(pk, cs, rng=rng)
+    mark("prove warm-up")
     t1 = time.time()
     proof = groth16.prove(pk, cs, rng=rng)
     prove_s = time.time() - t1
-    print(f"# prove: {prove_s:.3f}s", file=sys.stderr)
+    mark(f"prove: {prove_s:.3f}s")
 
     ok = groth16.verify(vk, [root, digests[idx]], proof)
     assert ok, "proof failed to verify"
+    mark("verified")
 
     print(json.dumps({
         "metric": f"groth16_bls12_381_prove_{members}members",

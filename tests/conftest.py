@@ -25,6 +25,6 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: XLA compiles of the limb kernels dominate
 # suite wall time on small hosts; cache them across runs.  Env-var mapping
 # does not engage in this container, so use the config API directly.
-jax.config.update("jax_compilation_cache_dir", "/tmp/zkmember_jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")

@@ -36,7 +36,7 @@ def _build(stack: str, n_members: int, pad_to: int | None = None):
     cfg = app.get_config(stack)
     leaf_params, node_params = cfg.setup_params(rng)
     members = generate_members(n_members)
-    digests = [m.hash(leaf_params) for m in members]
+    digests = Member.hash_batch(leaf_params, members)
     if pad_to is not None and len(digests) < pad_to:
         # universal mode: pad the registrar to the indexed max with default
         # members (benches/marlin.rs:168-172)

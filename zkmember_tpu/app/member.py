@@ -65,6 +65,26 @@ class Member:
 
         return ph.hash_bytes_host(leaf_params, self.to_bytes()).v
 
+    @staticmethod
+    def hash_batch(leaf_params, members: list["Member"]) -> list[int]:
+        """Batched leaf digests on device (one tiled Pedersen kernel call).
+
+        Same semantics as [m.hash(p) for m in members]; the device path
+        makes registrar-scale (1024+) leaf hashing a single kernel sweep
+        instead of per-member host bignum loops.
+        """
+        import numpy as np
+
+        from zkmember_tpu.fields import device as dv
+        from zkmember_tpu.hash import pedersen as ph
+
+        if not members:
+            return []
+        cap = leaf_params.window.capacity_bits
+        bits = np.stack([ph.bytes_to_bits(m.to_bytes(), cap) for m in members])
+        digests = ph.hash_bits_tiled(leaf_params, bits)
+        return dv.limbs_to_ints(digests)
+
     # -- serde-JSON mirror (member.rs:90-150) -------------------------------
     def to_json(self) -> str:
         return json.dumps(

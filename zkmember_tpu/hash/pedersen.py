@@ -24,6 +24,7 @@ with the Python bignum curve, then shipped once as Montgomery limb planes.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -173,6 +174,51 @@ def hash_bits_device(params: PedersenParams, bits):
     return dv.from_mont(params.spec, x_aff)
 
 
+_HASH_TILE: int | None = None
+
+
+def hash_tile() -> int:
+    """Canonical hash-batch tile (compile once per params; see msm.tile)."""
+    global _HASH_TILE
+    if _HASH_TILE is None:
+        import jax
+
+        env = os.environ.get("ZKMEMBER_HASH_TILE")
+        if env:
+            _HASH_TILE = int(env)
+        else:
+            _HASH_TILE = 512 if jax.default_backend() == "tpu" else 8
+    return _HASH_TILE
+
+
+def _hash_jit(params: PedersenParams):
+    """Per-params jitted batched hash (tables close over as constants)."""
+    if not hasattr(params, "_jit_fn"):
+        import jax
+
+        params._jit_fn = jax.jit(lambda bits: hash_bits_device(params, bits))
+    return params._jit_fn
+
+
+def hash_bits_tiled(params: PedersenParams, bits_np: np.ndarray) -> np.ndarray:
+    """Hash (B, capacity_bits) host bit rows at the canonical tile shape.
+
+    Pads/chunks so ONE compiled program serves every batch size (Merkle
+    levels halve each round; per-shape recompiles dominated tree build on
+    the remote-compile axon backend).  Returns (B, n) canonical numpy limbs.
+    """
+    B = bits_np.shape[0]
+    T = hash_tile()
+    fn = _hash_jit(params)
+    outs = []
+    for s in range(0, B, T):
+        e = min(s + T, B)
+        buf = np.zeros((T, bits_np.shape[1]), np.uint32)
+        buf[: e - s] = bits_np[s:e]
+        outs.append(np.asarray(fn(jnp.asarray(buf)))[: e - s])
+    return np.concatenate(outs, axis=0)
+
+
 def digests_to_bits_device(spec: dv.FieldSpec, digests, nbits: int):
     """Canonical (B, n) limb digests -> (B, nbits) bit planes on device.
 
@@ -190,6 +236,32 @@ def digests_to_bits_device(spec: dv.FieldSpec, digests, nbits: int):
     bits = (d[..., :want_limbs, None] >> shifts) & 1
     bits = bits.reshape(d.shape[:-1] + (want_limbs * dv.LIMB_BITS,))
     return bits[..., :nbits].astype(jnp.uint32)
+
+
+def limbs_to_bits_np(limbs: np.ndarray, nbits: int) -> np.ndarray:
+    """(B, n) canonical u32 16-bit-limb rows -> (B, nbits) host bit planes
+    (little-endian bit order of the integer value, zero-padded)."""
+    limbs = np.asarray(limbs)
+    want = (nbits + dv.LIMB_BITS - 1) // dv.LIMB_BITS
+    if want > limbs.shape[-1]:
+        limbs = np.pad(limbs, [(0, 0)] * (limbs.ndim - 1) + [(0, want - limbs.shape[-1])])
+    shifts = np.arange(dv.LIMB_BITS, dtype=np.uint32)
+    bits = (limbs[..., :want, None] >> shifts) & 1
+    return bits.reshape(limbs.shape[:-1] + (want * dv.LIMB_BITS,))[..., :nbits].astype(
+        np.uint32
+    )
+
+
+def two_to_one_tiled(
+    params: PedersenParams, left_limbs: np.ndarray, right_limbs: np.ndarray
+) -> np.ndarray:
+    """Tiled TwoToOne hash over canonical numpy limb digests (tree levels)."""
+    half = params.window.capacity_bits // 2
+    bits = np.concatenate(
+        [limbs_to_bits_np(left_limbs, half), limbs_to_bits_np(right_limbs, half)],
+        axis=-1,
+    )
+    return hash_bits_tiled(params, bits)
 
 
 def two_to_one_device(params: PedersenParams, left_digests, right_digests):

@@ -55,13 +55,14 @@ class MerkleTree:
         self.spec = node_params.spec
         cap = leaf_params.window.capacity_bits
 
-        # level 0: hash leaf bytes (batched)
+        # level 0: hash leaf bytes (batched, tiled: one compiled program per
+        # params regardless of level width)
         bits = np.stack([ph.bytes_to_bits(b, cap) for b in leaves])
-        digests = ph.hash_bits_device(leaf_params, jnp.asarray(bits))
-        self.levels = [digests]  # canonical limb arrays, (width, n)
+        digests = ph.hash_bits_tiled(leaf_params, bits)
+        self.levels = [digests]  # canonical numpy limb arrays, (width, n)
         while self.levels[-1].shape[0] > 1:
             cur = self.levels[-1]
-            nxt = ph.two_to_one_device(node_params, cur[0::2], cur[1::2])
+            nxt = ph.two_to_one_tiled(node_params, cur[0::2], cur[1::2])
             self.levels.append(nxt)
 
     @property

@@ -3,14 +3,18 @@
 TPU-native replacement for ark-ec's variable-base Pippenger MSM (SURVEY.md
 section 2.2 row 2) — the Groth16/KZG hot loop.
 
-v1 strategy (correctness-first, fully batched; see SURVEY.md section 7.3
-item 3 for the planned sort-based Pippenger):
+Compile-latency-first design (the axon TPU backend compiles remotely, so
+every distinct jitted program costs tens of seconds of cold-start):
+  * every kernel runs on a FIXED canonical tile shape (`tile()`); callers
+    pad/chunk on the host, so the whole framework compiles ONE program per
+    (kernel, field) pair regardless of circuit size;
+  * kernels fuse their reduction: `_windowed_partial` / `_bool_partial` map
+    a tile of points directly to a single Jacobian partial sum, and chunk
+    partials are combined by `_finish` (fixed-width tree reduce + affine
+    normalization) — results never round-trip through host bignums;
   * scalars are classified on host: zeros are dropped, 0/1 scalars go
-    through a single masked Jacobian tree reduction (`sw_msm_bool` — the
-    dominant class in Pedersen-circuit witnesses), and general scalars take
-    the batched double-and-add path (`sw_scalar_mul` + tree reduce).
-  * batch sizes are padded to powers of two so XLA compiles one kernel per
-    size class instead of one per circuit.
+    through the masked tree reduction (the dominant class in Pedersen
+    -circuit witnesses), the rest take the batched windowed path.
 
 Points live on device as affine Montgomery limb planes; results return as
 host affine points for the (host-side, O(1)) verifier and serialization.
@@ -18,6 +22,7 @@ host affine points for the (host-side, O(1)) verifier and serialization.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -32,16 +37,24 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, (x - 1).bit_length())
 
 
-# Minimum device batch: collapses small-size classes into one compiled
-# kernel shape (padding is cheap on TPU; recompiles are not).  Kept small by
-# default so the CPU test suite doesn't pay 4x padded compute on toy MSMs.
-import os as _os
-
-MIN_BATCH = int(_os.environ.get("ZKMEMBER_MIN_BATCH", "16"))
+_TILE: int | None = None
 
 
-def _pad_size(x: int) -> int:
-    return max(MIN_BATCH, _next_pow2(max(x, 1)))
+def tile() -> int:
+    """Canonical point-batch tile: every MSM/fixed-base kernel compiles for
+    exactly this leading dimension.  Resolved once, env-overridable; the CPU
+    default is small so the 2-core test box doesn't pay padded compute."""
+    global _TILE
+    if _TILE is None:
+        env = os.environ.get("ZKMEMBER_MSM_TILE")
+        if env:
+            _TILE = int(env)
+        else:
+            _TILE = 4096 if jax.default_backend() == "tpu" else 64
+    return _TILE
+
+
+COMBINE_WIDTH = 32  # fixed batch of the partial-combine/finish kernel
 
 
 class PointArray:
@@ -150,17 +163,45 @@ def scalars_to_digits_np(scalars, nbits: int, c: int = WINDOW_BITS) -> np.ndarra
     return u64_rows_to_digits(zknative.ints_to_u64(scalars, nl), nbits)
 
 
+# ---------------------------------------------------------------------------
+# tile kernels — one compiled program per (kernel, field) for any input size
+# ---------------------------------------------------------------------------
+
+
 @partial(jax.jit, static_argnums=(0,))
-def _msm_general_kernel(F, digits, X, Y):
+def _windowed_partial_kernel(F, digits, X, Y):
+    """(tile, nwin) digits + affine tile -> ONE Jacobian partial sum."""
     P = (X, Y, F.ones((_leading(X),)))
     per_point = cdv.sw_scalar_mul_windowed(F, digits, P, WINDOW_BITS)
     return cdv.sw_tree_reduce(F, per_point)
 
 
 @partial(jax.jit, static_argnums=(0,))
-def _msm_bool_kernel(F, mask, X, Y):
+def _bool_partial_kernel(F, mask, X, Y):
+    """0/1-scalar tile -> ONE Jacobian partial sum (masked tree reduce)."""
     P = (X, Y, F.ones((_leading(X),)))
     return cdv.sw_msm_bool(F, mask, P)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _finish_kernel(F, JX, JY, JZ):
+    """(COMBINE_WIDTH,) Jacobian partials -> single affine (x, y, inf)."""
+    total = cdv.sw_tree_reduce(F, (JX, JY, JZ))
+    one = tuple(_lift0(c) for c in total)
+    x, y, inf = cdv.sw_to_affine(F, one)
+    return x, y, inf
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _affine_tile_kernel(F, JX, JY, JZ):
+    """Batch-normalize a tile of Jacobian points -> (x, y, inf) planes."""
+    return cdv.sw_to_affine(F, (JX, JY, JZ))
+
+
+def _lift0(c):
+    if isinstance(c, tuple):
+        return tuple(_lift0(ci) for ci in c)
+    return c[None]
 
 
 def _leading(c):
@@ -169,38 +210,57 @@ def _leading(c):
     return c.shape[0]
 
 
-def _jac_to_host(F, spec_or_none, curve, J):
-    """Single Jacobian device point -> host affine point (or None)."""
-    Jb = tuple(_expand0(c) for c in J)
-    x, y, inf = cdv.sw_to_affine(F, Jb)
-    if bool(np.asarray(inf)[0]):
-        return None
-    if isinstance(x, tuple):  # Fp2
-        base = F.spec.base
-        x0, x1 = (base.from_mont_host(np.asarray(c))[0] for c in x)
-        y0, y1 = (base.from_mont_host(np.asarray(c))[0] for c in y)
-        f2 = curve.field
-        fq = f2.base
-        return (f2(fq(x0), fq(x1)), f2(fq(y0), fq(y1)))
-    spec = F.spec
-    xv = spec.from_mont_host(np.asarray(x))[0]
-    yv = spec.from_mont_host(np.asarray(y))[0]
-    return (curve.field(xv), curve.field(yv))
-
-
-def _expand0(c):
+def _coord_pad(c, m: int):
+    b = _leading(c)
+    if b == m:
+        return c
     if isinstance(c, tuple):
-        return tuple(_expand0(ci) for ci in c)
-    return c[None]
+        return tuple(_coord_pad(ci, m) for ci in c)
+    return jnp.pad(c, [(0, m - b)] + [(0, 0)] * (c.ndim - 1))
 
 
-def msm(points: PointArray, scalars, order: int, nbits: int | None = None):
-    """sum_i scalars[i] * points[i] -> host affine point (or None).
+def _stack_coords(cs):
+    if isinstance(cs[0], tuple):
+        return tuple(_stack_coords([c[i] for c in cs]) for i in range(len(cs[0])))
+    return jnp.stack(cs)
+
+
+def combine_partials(F, partials):
+    """List of single-point Jacobians -> single affine (x, y, inf) via the
+    fixed-width finish kernel (hierarchical when > COMBINE_WIDTH chunks)."""
+    while len(partials) > COMBINE_WIDTH:
+        groups = [
+            partials[i : i + COMBINE_WIDTH]
+            for i in range(0, len(partials), COMBINE_WIDTH)
+        ]
+        partials = [_combine_group_jac(F, g) for g in groups]
+    JX, JY, JZ = (_coord_pad(_stack_coords([p[i] for p in partials]), COMBINE_WIDTH) for i in range(3))
+    # padded rows have Z = 0 -> treated as infinity by the group law
+    return _finish_kernel(F, JX, JY, JZ)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _reduce_group_kernel(F, JX, JY, JZ):
+    return cdv.sw_tree_reduce(F, (JX, JY, JZ))
+
+
+def _combine_group_jac(F, group):
+    JX, JY, JZ = (_coord_pad(_stack_coords([p[i] for p in group]), COMBINE_WIDTH) for i in range(3))
+    return _reduce_group_kernel(F, JX, JY, JZ)
+
+
+def _chunks(n: int, m: int):
+    for s in range(0, n, m):
+        yield s, min(s + m, n)
+
+
+def msm_device(points: PointArray, scalars, order: int, nbits: int | None = None):
+    """sum_i scalars[i] * points[i] -> single affine device point (x, y, inf).
 
     scalars: python ints (mod `order`) OR a (B, nl) little-endian u64
     canonical-scalar numpy array (the prover's native path).  Classification
-    (vectorized): zeros dropped, {0,1} handled by the masked tree reduction,
-    the rest by batched windowed mul.  Partials combine on host (2 points).
+    (vectorized): zeros dropped, {0,1} by the masked tree reduction, the
+    rest by batched windowed mul; all chunked to the canonical tile.
     """
     if nbits is None:
         nbits = order.bit_length()
@@ -218,24 +278,60 @@ def msm(points: PointArray, scalars, order: int, nbits: int | None = None):
     ones_idx = np.nonzero(is_one)[0]
     gen_idx = np.nonzero(~is_zero & ~is_one)[0]
 
-    curve, F = points.curve, points.F
-    total = None
+    F = points.F
+    T = tile()
+    partials = []
     if ones_idx.size:
-        m = _pad_size(len(ones_idx))
-        sel = points.take(ones_idx.astype(np.int64)).pad_to(m)
-        mask = np.zeros(m, np.uint32)
-        mask[: len(ones_idx)] = 1
-        J = _msm_bool_kernel(F, jnp.asarray(mask), sel.x, sel.y)
-        total = _host_add(curve, total, _jac_to_host(F, None, curve, J))
+        sel = points.take(ones_idx.astype(np.int64))
+        for s, e in _chunks(len(ones_idx), T):
+            chunk = PointArray(F, points.curve, _take_rows(sel.x, s, e), _take_rows(sel.y, s, e)).pad_to(T)
+            mask = np.zeros(T, np.uint32)
+            mask[: e - s] = 1
+            partials.append(_bool_partial_kernel(F, jnp.asarray(mask), chunk.x, chunk.y))
     if gen_idx.size:
-        m = _pad_size(len(gen_idx))
-        sel = points.take(gen_idx.astype(np.int64)).pad_to(m)
         nwin = (nbits + WINDOW_BITS - 1) // WINDOW_BITS
-        digits = np.zeros((m, nwin), np.uint32)
-        digits[: len(gen_idx)] = u64_rows_to_digits(rows[gen_idx], nbits)
-        J = _msm_general_kernel(F, jnp.asarray(digits), sel.x, sel.y)
-        total = _host_add(curve, total, _jac_to_host(F, None, curve, J))
-    return total
+        all_digits = u64_rows_to_digits(rows[gen_idx], nbits)
+        sel = points.take(gen_idx.astype(np.int64))
+        for s, e in _chunks(len(gen_idx), T):
+            chunk = PointArray(F, points.curve, _take_rows(sel.x, s, e), _take_rows(sel.y, s, e)).pad_to(T)
+            digits = np.zeros((T, nwin), np.uint32)
+            digits[: e - s] = all_digits[s:e]
+            partials.append(_windowed_partial_kernel(F, jnp.asarray(digits), chunk.x, chunk.y))
+    if not partials:
+        return None
+    return combine_partials(F, partials)
+
+
+def _take_rows(c, s: int, e: int):
+    if isinstance(c, tuple):
+        return tuple(_take_rows(ci, s, e) for ci in c)
+    return c[s:e]
+
+
+def msm(points: PointArray, scalars, order: int, nbits: int | None = None):
+    """MSM -> host affine point (or None for the identity)."""
+    out = msm_device(points, scalars, order, nbits)
+    if out is None:
+        return None
+    return affine_result_to_host(points.F, points.curve, out)
+
+
+def affine_result_to_host(F, curve, xyi):
+    """Device single affine (x, y, inf) -> host affine point (or None)."""
+    x, y, inf = xyi
+    if bool(np.asarray(inf)[0]):
+        return None
+    if isinstance(x, tuple):  # Fp2
+        base = F.spec.base
+        x0, x1 = (base.from_mont_host(np.asarray(c))[0] for c in x)
+        y0, y1 = (base.from_mont_host(np.asarray(c))[0] for c in y)
+        f2 = curve.field
+        fq = f2.base
+        return (f2(fq(x0), fq(x1)), f2(fq(y0), fq(y1)))
+    spec = F.spec
+    xv = spec.from_mont_host(np.asarray(x))[0]
+    yv = spec.from_mont_host(np.asarray(y))[0]
+    return (curve.field(xv), curve.field(yv))
 
 
 def _host_add(curve, a, b):

@@ -4,12 +4,16 @@ TPU-native replacement for `ark-poly`'s Radix2EvaluationDomain FFTs — the
 Groth16 H(x) pipeline and all Marlin AHP polynomial work (SURVEY.md section
 2.2 row ark-poly; reference use sites benches/marlin.rs:99,232).
 
-Design: iterative Cooley-Tukey with a constant bit-reversal gather up front,
-then log2(N) stages; every stage is ONE batched Montgomery multiply of N/2
-elements by trace-time twiddle constants plus an add/sub pair — the whole
-transform is a handful of fused VPU/MXU kernels per stage, with no
-data-dependent control flow.  Twiddle tables are built host-side from each
-field's two-adic root of unity (derived in curves.bls12_381 / curves.bw6_761).
+Design: constant-geometry (Pease) radix-2 DIF, `lax.scan`ned over the
+log2(N) stages.  Every stage has IDENTICAL dataflow — split the butterfly
+axis in half, butterfly `(a+b, (a-b)*w)`, perfect-shuffle the halves back
+together — so XLA traces and compiles ONE stage body regardless of N (the
+unrolled form produced O(log N)-sized HLO whose remote compile dominated
+prover cold-start on the axon backend).  Per-stage twiddles are a stacked
+(log N, N/2) Montgomery table scanned as input; output falls out in
+bit-reversed order and a single gather restores natural order.  Twiddle
+tables are built host-side from each field's two-adic root of unity
+(derived in curves.bls12_381 / curves.bw6_761).
 
 Multi-chip sharding (parallel.dist) slices the leading batch dimension; the
 butterfly axis itself is sharded via shard_map + all_to_all for domains
@@ -71,20 +75,25 @@ class Domain:
         self._stage_tw: dict[bool, list[np.ndarray]] = {}
         self._coset_pows: dict[bool, np.ndarray] = {}
 
-    # -- host-side constant tables (built once, traced as constants) --------
-    def _twiddles(self, inverse: bool) -> list[np.ndarray]:
+    # -- host-side constant tables (built once, shipped as scan inputs) -----
+    def _twiddles(self, inverse: bool) -> np.ndarray:
+        """Stacked Pease-stage twiddle table, shape (log N, N/2, n_limbs).
+
+        Stage s of the constant-geometry DIF uses w^((i >> s) << s) at
+        butterfly lane i (verified against the naive DFT; see module doc).
+        """
         if inverse not in self._stage_tw:
             p, N = self.spec.p, self.size
             w = self.w_inv if inverse else self.w
+            logn = N.bit_length() - 1
+            i = np.arange(N // 2, dtype=object)
             stages = []
-            m = 1
-            while m < N:
-                base = pow(w, N // (2 * m), p)
+            for s in range(logn):
+                exps = (i >> s) << s
                 stages.append(
-                    self.spec.to_mont_host([pow(base, j, p) for j in range(m)])
+                    self.spec.to_mont_host([pow(w, int(e), p) for e in exps])
                 )
-                m *= 2
-            self._stage_tw[inverse] = stages
+            self._stage_tw[inverse] = np.stack(stages)
         return self._stage_tw[inverse]
 
     def _coset_powers(self, inverse: bool) -> np.ndarray:
@@ -103,27 +112,29 @@ class Domain:
 
 
 def _fft_core(domain: Domain, x, inverse: bool):
-    """In-place-style iterative radix-2 butterfly over the last-but-one axis.
+    """Constant-geometry (Pease) radix-2 DIF over the last-but-one axis.
 
-    x: (..., N, n_limbs) Montgomery-form values.  Returns same shape.
+    x: (..., N, n_limbs) Montgomery-form values, natural order.  Returns the
+    same shape in natural order.  The stage body is scanned, so the traced
+    program is O(1) in N — critical for remote-compile latency.
     """
     spec, N = domain.spec, domain.size
-    x = x[..., jnp.asarray(domain._perm), :]
-    m = 1
-    for tw in domain._twiddles(inverse):
-        # shape (..., N/(2m), 2, m, n): even/odd blocks of the current stage
-        shape = x.shape[:-2] + (N // (2 * m), 2, m, spec.n)
-        xr = x.reshape(shape)
-        even = xr[..., 0, :, :]
-        odd = xr[..., 1, :, :]
-        t = dv.mont_mul(spec, odd, jnp.broadcast_to(jnp.asarray(tw), odd.shape))
-        out_even = dv.add(spec, even, t)
-        out_odd = dv.sub(spec, even, t)
-        x = jnp.concatenate(
-            [out_even[..., :, None, :, :], out_odd[..., :, None, :, :]], axis=-3
-        ).reshape(x.shape[:-2] + (N, spec.n))
-        m *= 2
-    return x
+    half = N // 2
+
+    def stage(y, tw):
+        a = y[..., :half, :]
+        b = y[..., half:, :]
+        sm = dv.add(spec, a, b)
+        df = dv.mont_mul(spec, dv.sub(spec, a, b), jnp.broadcast_to(tw, a.shape))
+        # perfect shuffle: lane i of each half -> lanes 2i, 2i+1
+        out = jnp.stack([sm, df], axis=-2).reshape(y.shape)
+        return out, None
+
+    import jax
+
+    x, _ = jax.lax.scan(stage, x, jnp.asarray(domain._twiddles(inverse)))
+    # DIF leaves results bit-reversed; one gather restores natural order
+    return x[..., jnp.asarray(domain._perm), :]
 
 
 def ntt(domain: Domain, coeffs):

@@ -195,35 +195,56 @@ def _fixed_base_table(cfg, base_host, curve, g2: bool):
     return _FIXED_TABLES[key]
 
 
-def _fixed_base_mul(cfg, F, base_host, curve, scalars, g2=False):
-    """[s*G for s in scalars] on device; returns host affine point list.
+def _fixed_base_mul_device(cfg, F, base_host, curve, scalars, g2=False):
+    """[s*G for s in scalars] on device affine Montgomery planes.
 
     Fully-tabled windowed method: the per-window digit tables d * 16^w * G
     are host-precomputed constants, so each point costs only n_windows
-    batched additions — no doublings at all (the setup hot loop).
+    batched additions — no doublings at all (the setup hot loop).  Work is
+    chunked to the canonical MSM tile so the kernel compiles once per field
+    (remote-compile latency on the axon backend dominates cold setup
+    otherwise), and results STAY on device (x, y, inf_mask) — no host
+    bignum round trip.
     """
     r = cfg.r
     if not scalars:
-        return []
+        return None, None, np.zeros((0,), bool)
     TX, TY, TZ, nwin = _fixed_base_table(cfg, base_host, curve, g2)
     B = len(scalars)
-    m = msmmod._pad_size(B)
+    T = msmmod.tile()
     c = msmmod.WINDOW_BITS
-    digits = np.zeros((m, nwin), np.uint32)
     dg = msmmod.scalars_to_digits_np([s % r for s in scalars], nwin * c)
-    digits[:B] = dg[:, ::-1]  # LSW first to match table window order
+    dg = dg[:, ::-1]  # LSW first to match table window order
+    xs, ys, infs = [], [], []
+    for s, e in msmmod._chunks(B, T):
+        digits = np.zeros((T, nwin), np.uint32)
+        digits[: e - s] = dg[s:e]
+        J = _fixed_base_kernel(F, jnp.asarray(digits), TX, TY, TZ)
+        x, y, inf = msmmod._affine_tile_kernel(F, *J)
+        xs.append(x)
+        ys.append(y)
+        infs.append(np.asarray(inf)[: e - s])
+    x = _concat_trim(xs, B)
+    y = _concat_trim(ys, B)
+    return x, y, np.concatenate(infs)
 
-    J = _fixed_base_kernel(F, jnp.asarray(digits), TX, TY, TZ)
-    x, y, inf = _to_affine_kernel(F, J)
-    return _affine_to_host(cfg, F, curve, x, y, inf, B)
+
+def _concat_trim(cs, B: int):
+    if isinstance(cs[0], tuple):
+        return tuple(_concat_trim([c[i] for c in cs], B) for i in range(len(cs[0])))
+    out = cs[0] if len(cs) == 1 else jnp.concatenate(cs, axis=0)
+    return out[:B]
+
+
+def _fixed_base_mul(cfg, F, base_host, curve, scalars, g2=False):
+    """[s*G for s in scalars] -> host affine point list (small batches)."""
+    if not scalars:
+        return []
+    x, y, inf = _fixed_base_mul_device(cfg, F, base_host, curve, scalars, g2)
+    return _affine_to_host(cfg, F, curve, x, y, inf, len(scalars))
 
 
 from functools import partial
-
-
-@partial(jax.jit, static_argnums=(0,))
-def _to_affine_kernel(F, J):
-    return cdv.sw_to_affine(F, J)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -304,9 +325,10 @@ class ProvingKey:
     b_g1_query: "msmmod.PointArray"
     b_g2_query: "msmmod.PointArray"
     h_query: "msmmod.PointArray"  # tau^k Z/delta G1, k < M-1
-    l_query: "msmmod.PointArray"  # witness vars only
+    l_query: "msmmod.PointArray"  # witness vars with nonzero L scalar only
     a_nonzero: list  # indices where u_i != 0 (zero points dropped on device)
     b_nonzero: list
+    l_nonzero: list  # witness-relative indices with nonzero L scalar
     domain_size: int
     num_instance: int
 
@@ -358,12 +380,24 @@ def setup(cs: ConstraintSystem, curve: str = "bls12_381", rng=None):
     a_nonzero = [i for i in range(nv) if u[i] % r]
     b_nonzero = [i for i in range(nv) if v[i] % r]
 
+    # l-query scalars can legitimately be zero (variable absent from the
+    # QAP); zero scalars map to the point at infinity, which the dense
+    # affine PointArray cannot represent — filter them like a/b.
+    l_nonzero = [i for i in range(len(l_scalars)) if l_scalars[i]]
+
     F1, F2 = cfg.F1, cfg.F2
-    a_pts = _fixed_base_mul(cfg, F1, G, g1, [u[i] for i in a_nonzero])
-    b1_pts = _fixed_base_mul(cfg, F1, G, g1, [v[i] for i in b_nonzero])
-    b2_pts = _fixed_base_mul(cfg, F2, H, g2, [v[i] for i in b_nonzero], g2=True)
-    h_pts = _fixed_base_mul(cfg, F1, G, g1, h_scalars)
-    l_pts = _fixed_base_mul(cfg, F1, G, g1, l_scalars)
+
+    def dq(F, base, crv, scalars, g2=False):
+        """Device query: fixed-base muls kept as an on-device PointArray."""
+        x, y, inf = _fixed_base_mul_device(cfg, F, base, crv, scalars, g2)
+        assert not inf.any(), "zero scalar leaked into a dense query"
+        return msmmod.PointArray(F, crv, x, y)
+
+    a_query = dq(F1, G, g1, [u[i] for i in a_nonzero])
+    b_g1_query = dq(F1, G, g1, [v[i] for i in b_nonzero])
+    b_g2_query = dq(F2, H, g2, [v[i] for i in b_nonzero], g2=True)
+    h_query = dq(F1, G, g1, h_scalars)
+    l_query = dq(F1, G, g1, [l_scalars[i] for i in l_nonzero])
     gamma_abc_pts = _fixed_base_mul(cfg, F1, G, g1, gamma_abc)
 
     vk = VerifyingKey(
@@ -379,13 +413,14 @@ def setup(cs: ConstraintSystem, curve: str = "bls12_381", rng=None):
         vk=vk,
         beta_g1=g1.mul(beta, G),
         delta_g1=g1.mul(delta, G),
-        a_query=cfg.g1_from_host(a_pts),
-        b_g1_query=cfg.g1_from_host(b1_pts),
-        b_g2_query=cfg.g2_from_host(b2_pts),
-        h_query=cfg.g1_from_host(h_pts),
-        l_query=cfg.g1_from_host(l_pts),
+        a_query=a_query,
+        b_g1_query=b_g1_query,
+        b_g2_query=b_g2_query,
+        h_query=h_query,
+        l_query=l_query,
         a_nonzero=a_nonzero,
         b_nonzero=b_nonzero,
+        l_nonzero=l_nonzero,
         domain_size=M,
         num_instance=ni,
     )
@@ -460,7 +495,21 @@ def _h_kernel(domain: "nttmod.Domain", a, b, c, zh_inv):
 
 
 def prove(pk: ProvingKey, cs: ConstraintSystem, rng=None) -> Proof:
-    """Groth16 prover: witness -> H(x) via coset NTTs -> classified MSMs."""
+    """Groth16 prover: witness -> H(x) via coset NTTs -> classified MSMs.
+
+    ZKMEMBER_TRACE=1 emits per-phase wall times to stderr (obs.Profiler —
+    this framework's counterpart of the reference's Criterion phase view).
+    """
+    import os
+    import sys
+
+    from zkmember_tpu.utils import obs
+
+    prof = obs.Profiler(
+        emit=(lambda s: print(f"# {s}", file=sys.stderr, flush=True))
+        if os.environ.get("ZKMEMBER_TRACE")
+        else None
+    )
     cfg = pairing_config(pk.curve)
     rng = rng or frng.test_rng()
     r_mod = cfg.r
@@ -478,33 +527,41 @@ def prove(pk: ProvingKey, cs: ConstraintSystem, rng=None) -> Proof:
     domain = nttmod.Domain.get(cfg.fr_spec, M)
     spec = cfg.fr_spec
     nf = zknative.NativeField.get(spec.p, spec.n)
-    if nf is not None:
-        da, db, dc, z_rows = _matrix_evals_native(cs, M, nf)
-    else:  # pure-Python fallback (no host toolchain)
-        a_ev, b_ev, c_ev = _matrix_evals(cs, M)
-        da = jnp.asarray(spec.to_mont_host(a_ev))
-        db = jnp.asarray(spec.to_mont_host(b_ev))
-        dc = jnp.asarray(spec.to_mont_host(c_ev))
-        z_rows = None
+    with prof.phase("matrix_evals"):
+        if nf is not None:
+            da, db, dc, z_rows = _matrix_evals_native(cs, M, nf)
+        else:  # pure-Python fallback (no host toolchain)
+            a_ev, b_ev, c_ev = _matrix_evals(cs, M)
+            da = jnp.asarray(spec.to_mont_host(a_ev))
+            db = jnp.asarray(spec.to_mont_host(b_ev))
+            dc = jnp.asarray(spec.to_mont_host(c_ev))
+            z_rows = None
     zh_inv = jnp.asarray(spec.mont_scalar(pow(domain.vanishing_on_coset(), -1, spec.p)))
-    h_planes = np.asarray(_h_kernel(domain, da, db, dc, zh_inv))
-    if nf is not None:
-        h = nf.from_mont(zknative.u16_planes_to_u64(h_planes))[: M - 1]
-        za = z_rows[pk.a_nonzero]
-        zb = z_rows[pk.b_nonzero]
-        zl = z_rows[pk.num_instance :]
-    else:
-        h = spec.from_mont_host(h_planes)[: M - 1]
-        za = [z[i] for i in pk.a_nonzero]
-        zb = [z[i] for i in pk.b_nonzero]
-        zl = z[pk.num_instance :]
+    with prof.phase("h_kernel"):
+        h_planes = np.asarray(_h_kernel(domain, da, db, dc, zh_inv))
+    with prof.phase("h_to_host"):
+        if nf is not None:
+            h = nf.from_mont(zknative.u16_planes_to_u64(h_planes))[: M - 1]
+            za = z_rows[pk.a_nonzero]
+            zb = z_rows[pk.b_nonzero]
+            zl = z_rows[[pk.num_instance + i for i in pk.l_nonzero]]
+        else:
+            h = spec.from_mont_host(h_planes)[: M - 1]
+            za = [z[i] for i in pk.a_nonzero]
+            zb = [z[i] for i in pk.b_nonzero]
+            zl = [z[pk.num_instance + i] for i in pk.l_nonzero]
 
     # MSMs (device, scalar-classified)
-    a_acc = msmmod.msm(pk.a_query, za, r_mod)
-    b1_acc = msmmod.msm(pk.b_g1_query, zb, r_mod)
-    b2_acc = msmmod.msm(pk.b_g2_query, zb, r_mod)
-    h_acc = msmmod.msm(pk.h_query, h, r_mod)
-    l_acc = msmmod.msm(pk.l_query, zl, r_mod)
+    with prof.phase("msm_a"):
+        a_acc = msmmod.msm(pk.a_query, za, r_mod)
+    with prof.phase("msm_b1"):
+        b1_acc = msmmod.msm(pk.b_g1_query, zb, r_mod)
+    with prof.phase("msm_b2"):
+        b2_acc = msmmod.msm(pk.b_g2_query, zb, r_mod)
+    with prof.phase("msm_h"):
+        h_acc = msmmod.msm(pk.h_query, h, r_mod)
+    with prof.phase("msm_l"):
+        l_acc = msmmod.msm(pk.l_query, zl, r_mod)
 
     # assemble (host single-point arithmetic)
     A = g1.add(g1.add(pk.vk.alpha_g1, a_acc), g1.mul(rr, pk.delta_g1))
@@ -515,6 +572,8 @@ def prove(pk: ProvingKey, cs: ConstraintSystem, rng=None) -> Proof:
     C = g1.add(C, g1.mul(ss, A))
     C = g1.add(C, g1.mul(rr, B1))
     C = g1.add(C, g1.mul((-rr * ss) % r_mod, pk.delta_g1))
+    if prof._emit is not None:
+        prof.dump()
     return Proof(curve=pk.curve, a=A, b=B2, c=C)
 
 

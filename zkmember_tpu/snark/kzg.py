@@ -21,7 +21,11 @@ from dataclasses import dataclass
 import numpy as np
 
 import zkmember_tpu.msm.msm as msmmod
-from zkmember_tpu.snark.groth16 import pairing_config, _fixed_base_mul
+from zkmember_tpu.snark.groth16 import (
+    pairing_config,
+    _fixed_base_mul,
+    _fixed_base_mul_device,
+)
 from zkmember_tpu.utils import rng as frng
 
 
@@ -58,12 +62,13 @@ def setup(max_degree: int, curve: str = "bls12_381", rng=None) -> UniversalParam
     pows = [1] * (max_degree + 1)
     for i in range(1, max_degree + 1):
         pows[i] = pows[i - 1] * beta % r
-    pts = _fixed_base_mul(cfg, cfg.F1, mod.G1_GEN, mod.G1, pows)
+    x, y, inf = _fixed_base_mul_device(cfg, cfg.F1, mod.G1_GEN, mod.G1, pows)
+    assert not inf.any()
     return UniversalParams(
         curve=curve,
         max_degree=max_degree,
-        powers=cfg.g1_from_host(pts),
-        powers_host=pts,
+        powers=msmmod.PointArray(cfg.F1, mod.G1, x, y),
+        powers_host=None,  # device-resident; materialize on demand
         h=mod.G2_GEN,
         beta_h=mod.G2.mul(beta, mod.G2_GEN),
         g=mod.G1_GEN,

@@ -57,6 +57,7 @@ def save_groth16_keys(path: str, pk: "groth16.ProvingKey"):
         "num_instance": pk.num_instance,
         "a_nonzero": pk.a_nonzero,
         "b_nonzero": pk.b_nonzero,
+        "l_nonzero": pk.l_nonzero,
         "beta_g1": ser.sw_point_to_bytes(g1, pk.beta_g1).hex(),
         "delta_g1": ser.sw_point_to_bytes(g1, pk.delta_g1).hex(),
         "vk": ser.vk_to_bytes(pk.vk).hex(),
@@ -91,6 +92,7 @@ def load_groth16_keys(path: str) -> "groth16.ProvingKey":
         l_query=pa("l_query"),
         a_nonzero=list(meta["a_nonzero"]),
         b_nonzero=list(meta["b_nonzero"]),
+        l_nonzero=list(meta["l_nonzero"]),
         domain_size=meta["domain_size"],
         num_instance=meta["num_instance"],
     )
