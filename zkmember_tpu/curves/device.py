@@ -295,6 +295,265 @@ def sw_msm_bool(F, mask, P):
 
 
 # ---------------------------------------------------------------------------
+# short Weierstrass, a = 0, COMPLETE homogeneous-projective formulas
+# (Renes-Costello-Batina 2015, Algorithms 7 & 9).  (X, Y, Z), affine =
+# (X/Z, Y/Z), identity = (0, 1, 0).  Branchless and exception-free: the
+# one-true group law for batched TPU kernels — no embedded doubling, no
+# select cascade, identity/doubling/negation inputs all fall out correctly.
+# Cost: add 12M (2 of them by-3b, i.e. cheap chains), double 7M.
+# ---------------------------------------------------------------------------
+
+
+def _mul_small(F, x, k: int):
+    """x * k for a small signed integer k via a double-and-add chain."""
+    assert k != 0
+    negk = k < 0
+    k = -k if negk else k
+    acc = None
+    cur = x
+    while k:
+        if k & 1:
+            acc = cur if acc is None else F.add(acc, cur)
+        k >>= 1
+        if k:
+            cur = F.double(cur)
+    return F.neg(acc) if negk else acc
+
+
+def _fp2_mul_small_pair(F, a, c0: int, c1: int):
+    """Fp2 multiply by a small constant c0 + c1*u (nonresidue u^2 = -1)."""
+    assert F.spec.nonresidue == F.spec.base.p - 1, "small-pair path assumes nr=-1"
+    base = F.base
+    a0, a1 = a
+    r0_parts = []
+    r1_parts = []
+    if c0:
+        r0_parts.append(_mul_small(base, a0, c0))
+        r1_parts.append(_mul_small(base, a1, c0))
+    if c1:
+        r0_parts.append(_mul_small(base, a1, -c1))  # nr * c1 * a1
+        r1_parts.append(_mul_small(base, a0, c1))
+    r0 = r0_parts[0] if len(r0_parts) == 1 else base.add(*r0_parts)
+    r1 = r1_parts[0] if len(r1_parts) == 1 else base.add(*r1_parts)
+    return (r0, r1)
+
+
+class SWOps:
+    """a=0 short-Weierstrass curve ops bundle for the RCB complete formulas.
+
+    b3: 3*b as a small signed int (base-field curves) or an (int, int) pair
+    (Fp2 curves, b3 = c0 + c1*u).  Hash/eq by name so instances key jit
+    caches stably (use the module-level `sw_ops_for` singletons).
+    """
+
+    def __init__(self, F, b3, name: str):
+        self.F = F
+        self.b3 = b3
+        self.name = name
+        if isinstance(b3, tuple):
+            self._mb3 = lambda x: _fp2_mul_small_pair(F, x, *b3)
+        else:
+            self._mb3 = lambda x: _mul_small(F, x, b3)
+
+    def mul_b3(self, x):
+        return self._mb3(x)
+
+    def __hash__(self):
+        return hash(self.name)
+
+    def __eq__(self, o):
+        return isinstance(o, SWOps) and o.name == self.name
+
+    def __repr__(self):
+        return f"SWOps({self.name})"
+
+
+_SW_OPS: dict = {}
+
+
+def sw_ops_for(F, b3, name: str) -> SWOps:
+    if name not in _SW_OPS:
+        _SW_OPS[name] = SWOps(F, b3, name)
+    return _SW_OPS[name]
+
+
+def swp_identity(ops: SWOps, shape=()):
+    F = ops.F
+    return (F.zeros(shape), F.ones(shape), F.zeros(shape))
+
+
+def swp_is_identity(ops: SWOps, P):
+    return ops.F.is_zero(P[2])
+
+
+def swp_from_affine(ops: SWOps, x, y):
+    F = ops.F
+    shape = F.batch_shape(x)
+    return (x, y, F.ones(shape))
+
+
+def swp_add(ops: SWOps, P, Q):
+    """Complete projective addition (RCB15 Alg. 7, a=0): 12M, branchless."""
+    F = ops.F
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    t0 = F.mul(X1, X2)
+    t1 = F.mul(Y1, Y2)
+    t2 = F.mul(Z1, Z2)
+    t3 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
+    t3 = F.sub(t3, F.add(t0, t1))  # X1Y2 + X2Y1
+    t4 = F.mul(F.add(Y1, Z1), F.add(Y2, Z2))
+    t4 = F.sub(t4, F.add(t1, t2))  # Y1Z2 + Y2Z1
+    ty = F.mul(F.add(X1, Z1), F.add(X2, Z2))
+    ty = F.sub(ty, F.add(t0, t2))  # X1Z2 + X2Z1
+    t0 = _mul_small(F, t0, 3)  # 3 X1X2
+    t2 = ops.mul_b3(t2)  # b3 Z1Z2
+    Z3 = F.add(t1, t2)  # Y1Y2 + b3 Z1Z2
+    t1 = F.sub(t1, t2)  # Y1Y2 - b3 Z1Z2
+    ty = ops.mul_b3(ty)  # b3 (X1Z2 + X2Z1)
+    X3 = F.sub(F.mul(t3, t1), F.mul(t4, ty))
+    Y3 = F.add(F.mul(ty, t0), F.mul(t1, Z3))
+    Z3 = F.add(F.mul(Z3, t4), F.mul(t0, t3))
+    return (X3, Y3, Z3)
+
+
+def swp_double(ops: SWOps, P):
+    """Complete projective doubling (RCB15 Alg. 9, a=0): 7M, branchless."""
+    F = ops.F
+    X, Y, Z = P
+    t0 = F.sqr(Y)
+    Z3 = _mul_small(F, t0, 8)  # 8Y^2
+    t1 = F.mul(Y, Z)
+    t2 = ops.mul_b3(F.sqr(Z))  # b3 Z^2
+    X3 = F.mul(t2, Z3)
+    Y3 = F.add(t0, t2)
+    Z3 = F.mul(t1, Z3)
+    t2 = _mul_small(F, t2, 3)
+    t0 = F.sub(t0, t2)
+    Y3 = F.add(X3, F.mul(t0, Y3))
+    X3 = F.double(F.mul(t0, F.mul(X, Y)))
+    return (X3, Y3, Z3)
+
+
+def swp_select(ops: SWOps, mask, P, Q):
+    F = ops.F
+    return tuple(F.select(mask, a, b) for a, b in zip(P, Q))
+
+
+def swp_to_affine(ops: SWOps, P):
+    """Batch-normalize projective -> affine (x, y, is_identity)."""
+    F = ops.F
+    X, Y, Z = P
+    zinv = F.inv(Z)  # inv(0) = 0 under Fermat -> identity maps to (0, 0)
+    return F.mul(X, zinv), F.mul(Y, zinv), swp_is_identity(ops, P)
+
+
+def swp_tree_reduce(ops: SWOps, P):
+    """Sum a batch of projective points along axis 0 (log2 rounds of adds).
+
+    Same fixed-width scan structure as sw_tree_reduce; padding slots are the
+    projective identity (0, 1, 0), which the complete law absorbs.
+    """
+    F = ops.F
+    X, Y, Z = P
+    B = _leading0(X)
+
+    m = 1
+    while m < B:
+        m *= 2
+    ident = swp_identity(ops, (1,) + _batch_shape(F, X)[1:])
+    if m != B:
+        X = _pad_with(X, ident[0], m)
+        Y = _pad_with(Y, ident[1], m)
+        Z = _pad_with(Z, ident[2], m)
+    if m == 1:
+        return tuple(_index0(c) for c in (X, Y, Z))
+
+    half_ident = swp_identity(ops, (m // 2,) + _batch_shape(F, X)[1:])
+    rounds = m.bit_length() - 1
+
+    def body(cur, _):
+        left = tuple(_stride2(c, 0) for c in cur)
+        right = tuple(_stride2(c, 1) for c in cur)
+        s = swp_add(ops, left, right)
+        cur = tuple(_concat0(c, f) for c, f in zip(s, half_ident))
+        return cur, None
+
+    cur, _ = lax.scan(body, (X, Y, Z), None, length=rounds)
+    return tuple(_index0(c) for c in cur)
+
+
+def _leading0(c):
+    while isinstance(c, tuple):
+        c = c[0]
+    return c.shape[0]
+
+
+def _pad_with(c, filler, m):
+    if isinstance(c, tuple):
+        return tuple(_pad_with(ci, fi, m) for ci, fi in zip(c, filler))
+    b = c.shape[0]
+    if b == m:
+        return c
+    tail = jnp.broadcast_to(filler[:1], (m - b,) + c.shape[1:])
+    return jnp.concatenate([c, tail], axis=0)
+
+
+def _stride2(c, off):
+    if isinstance(c, tuple):
+        return tuple(_stride2(ci, off) for ci in c)
+    return c[off::2]
+
+
+def _concat0(c, f):
+    if isinstance(c, tuple):
+        return tuple(_concat0(ci, fi) for ci, fi in zip(c, f))
+    return jnp.concatenate([c, f], axis=0)
+
+
+def _index0(c):
+    if isinstance(c, tuple):
+        return tuple(_index0(ci) for ci in c)
+    return c[0]
+
+
+def swp_msm_bool(ops: SWOps, mask, P):
+    """MSM with 0/1 scalars: mask to identity, one tree reduction."""
+    ident = swp_identity(ops, _batch_shape(ops.F, P[0]))
+    sel = swp_select(ops, mask != 0, P, ident)
+    return swp_tree_reduce(ops, sel)
+
+
+def swp_scalar_mul_windowed(ops: SWOps, digits, P, c_bits: int = 4):
+    """Batched windowed (Straus) scalar mul on complete projective points.
+
+    digits: (B, n_windows) uint32, MSW first.  Table entry 0 is the
+    projective identity — the complete law makes digit-0 adds a no-op, so
+    there is no masking anywhere.
+    """
+    F = ops.F
+    T = 1 << c_bits
+    ident = swp_identity(ops, _batch_shape(F, P[0]))
+
+    def tstep(prev, _):
+        return swp_add(ops, prev, P), prev
+
+    _, tab = lax.scan(tstep, ident, None, length=T)
+
+    digits_t = jnp.moveaxis(digits, -1, 0)  # (nwin, B)
+
+    def body(acc, dig):
+        for _ in range(c_bits):
+            acc = swp_double(ops, acc)
+        Q = tuple(_gather_coord(t, dig) for t in tab)
+        acc = swp_add(ops, acc, Q)
+        return acc, None
+
+    acc, _ = lax.scan(body, ident, digits_t)
+    return acc
+
+
+# ---------------------------------------------------------------------------
 # twisted Edwards, extended coordinates, unified complete addition
 #   a x^2 + y^2 = 1 + d x^2 y^2;   (X, Y, T, Z), x = X/Z, y = Y/Z, T = XY/Z
 # ---------------------------------------------------------------------------

@@ -396,17 +396,39 @@ class Fp2Spec:
         )
 
 
+def _mul_nr(spec: Fp2Spec, v):
+    """Multiply a base-field element by the nonresidue; nr = -1 (the
+    BLS12-381 Fq2 case) is a free negation instead of a full mont_mul."""
+    if spec.nonresidue == spec.base.p - 1:
+        return neg(spec.base, v)
+    return mont_mul(spec.base, v, jnp.broadcast_to(jnp.asarray(spec.nr_mont), v.shape))
+
+
 def fp2_mul(spec: Fp2Spec, a, b):
-    """Karatsuba Fp2 product: (a0 + a1 x)(b0 + b1 x), x^2 = nr."""
+    """Karatsuba Fp2 product (3 base muls): (a0 + a1 x)(b0 + b1 x), x^2 = nr."""
     base = spec.base
     a0, a1 = a
     b0, b1 = b
     v0 = mont_mul(base, a0, b0)
     v1 = mont_mul(base, a1, b1)
-    c0 = add(base, v0, mont_mul(base, v1, jnp.broadcast_to(jnp.asarray(spec.nr_mont), v1.shape)))
+    c0 = add(base, v0, _mul_nr(spec, v1))
     t = mont_mul(base, add(base, a0, a1), add(base, b0, b1))
     c1 = sub(base, sub(base, t, v0), v1)
     return (c0, c1)
+
+
+def fp2_sqr(spec: Fp2Spec, a):
+    """Complex squaring (2 base muls): c0 = (a0+a1)(a0+nr*a1) - (1+nr)a0a1,
+    c1 = 2 a0 a1.  For nr = -1 this is the classic (a0+a1)(a0-a1) form."""
+    base = spec.base
+    a0, a1 = a
+    v = mont_mul(base, a0, a1)
+    if spec.nonresidue == spec.base.p - 1:
+        c0 = mont_mul(base, add(base, a0, a1), sub(base, a0, a1))
+    else:
+        t = mont_mul(base, add(base, a0, a1), add(base, a0, _mul_nr(spec, a1)))
+        c0 = sub(base, sub(base, t, v), _mul_nr(spec, v))
+    return (c0, add(base, v, v))
 
 
 def fp2_add(spec: Fp2Spec, a, b):
@@ -486,7 +508,7 @@ class Fp2Ops:
         return fp2_mul(self.spec, a, b)
 
     def sqr(self, a):
-        return fp2_mul(self.spec, a, a)
+        return fp2_sqr(self.spec, a)
 
     def add(self, a, b):
         return fp2_add(self.spec, a, b)
@@ -518,8 +540,7 @@ class Fp2Ops:
     def inv(self, a):
         # (a0 + a1 x)^-1 = (a0 - a1 x) / (a0^2 - nr a1^2)
         base = self.base
-        nr = jnp.asarray(self.spec.nr_mont)
-        norm = base.sub(base.sqr(a[0]), mont_mul(self.spec.base, base.sqr(a[1]), jnp.broadcast_to(nr, a[1].shape)))
+        norm = base.sub(base.sqr(a[0]), _mul_nr(self.spec, base.sqr(a[1])))
         ninv = base.inv(norm)
         return (base.mul(a[0], ninv), base.neg(base.mul(a[1], ninv)))
 

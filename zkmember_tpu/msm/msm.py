@@ -9,12 +9,16 @@ every distinct jitted program costs tens of seconds of cold-start):
     pad/chunk on the host, so the whole framework compiles ONE program per
     (kernel, field) pair regardless of circuit size;
   * kernels fuse their reduction: `_windowed_partial` / `_bool_partial` map
-    a tile of points directly to a single Jacobian partial sum, and chunk
+    a tile of points directly to a single projective partial sum, and chunk
     partials are combined by `_finish` (fixed-width tree reduce + affine
     normalization) — results never round-trip through host bignums;
   * scalars are classified on host: zeros are dropped, 0/1 scalars go
     through the masked tree reduction (the dominant class in Pedersen
-    -circuit witnesses), the rest take the batched windowed path.
+    -circuit witnesses), the rest take the batched windowed path;
+  * all point arithmetic uses the COMPLETE homogeneous-projective a=0
+    formulas (curves.device.swp_*, Renes-Costello-Batina): branchless,
+    exception-free, 12M per add vs the ~20M select-cascade Jacobian law —
+    the shape the VPU/MXU actually wants.
 
 Points live on device as affine Montgomery limb planes; results return as
 host affine points for the (host-side, O(1)) verifier and serialization.
@@ -137,6 +141,7 @@ def scalars_to_bits_np(scalars, nbits: int) -> np.ndarray:
 
 
 WINDOW_BITS = 4
+PIPPENGER_C = 8  # window width of the sort+prefix-scan variable-base MSM
 
 
 def u64_rows_to_digits(rows: np.ndarray, nbits: int) -> np.ndarray:
@@ -153,6 +158,16 @@ def u64_rows_to_digits(rows: np.ndarray, nbits: int) -> np.ndarray:
     return nib[:, nwin - 1 :: -1].astype(np.uint32)  # MSW first
 
 
+def u64_rows_to_bytes(rows: np.ndarray, nbits: int) -> np.ndarray:
+    """(B, nl) little-endian u64 scalar rows -> (B, nwin) 8-bit window
+    digits, most-significant window first (the Pippenger kernel's input)."""
+    rows = np.ascontiguousarray(rows, "<u8")
+    b8 = rows.view(np.uint8)  # (B, nl*8) LE bytes
+    nwin = (nbits + 7) // 8
+    assert nwin <= b8.shape[1]
+    return b8[:, nwin - 1 :: -1].astype(np.uint32)  # MSW first
+
+
 def scalars_to_digits_np(scalars, nbits: int, c: int = WINDOW_BITS) -> np.ndarray:
     """(B, ceil(nbits/c)) window digits, most-significant window first."""
     assert c == WINDOW_BITS
@@ -164,38 +179,135 @@ def scalars_to_digits_np(scalars, nbits: int, c: int = WINDOW_BITS) -> np.ndarra
 
 
 # ---------------------------------------------------------------------------
-# tile kernels — one compiled program per (kernel, field) for any input size
+# curve-ops resolution: host curve -> SWOps (b3 from the curve's b)
+# ---------------------------------------------------------------------------
+
+
+def _small_signed(v: int, p: int) -> int:
+    s = v if v <= p // 2 else v - p
+    assert abs(s) < 1 << 16, "curve b3 is not small"
+    return s
+
+
+def sw_ops_for_curve(F, curve) -> "cdv.SWOps":
+    """Resolve the complete-formula ops bundle for a host SW curve (b3 = 3b
+    derived from the host coefficient; cached by curve name)."""
+    name = curve.name
+    if name in cdv._SW_OPS:
+        return cdv._SW_OPS[name]
+    b = curve.b
+    if hasattr(b, "coeffs"):  # Fp2 coefficient
+        p = int(b.coeffs[0].p) if hasattr(b.coeffs[0], "p") else b.coeffs[0].__class__.p
+        b3 = tuple(_small_signed(int(c.v) * 3 % p, p) for c in b.coeffs)
+    else:
+        p = b.p if hasattr(b, "p") else b.__class__.p
+        b3 = _small_signed(int(b.v) * 3 % p, p)
+    return cdv.sw_ops_for(F, b3, name)
+
+
+# ---------------------------------------------------------------------------
+# tile kernels — one compiled program per (kernel, curve) for any input size
 # ---------------------------------------------------------------------------
 
 
 @partial(jax.jit, static_argnums=(0,))
-def _windowed_partial_kernel(F, digits, X, Y):
-    """(tile, nwin) digits + affine tile -> ONE Jacobian partial sum."""
-    P = (X, Y, F.ones((_leading(X),)))
-    per_point = cdv.sw_scalar_mul_windowed(F, digits, P, WINDOW_BITS)
-    return cdv.sw_tree_reduce(F, per_point)
+def _windowed_partial_kernel(ops, digits, X, Y):
+    """(tile, nwin) digits + affine tile -> ONE projective partial sum."""
+    P = cdv.swp_from_affine(ops, X, Y)
+    per_point = cdv.swp_scalar_mul_windowed(ops, digits, P, WINDOW_BITS)
+    return cdv.swp_tree_reduce(ops, per_point)
 
 
 @partial(jax.jit, static_argnums=(0,))
-def _bool_partial_kernel(F, mask, X, Y):
-    """0/1-scalar tile -> ONE Jacobian partial sum (masked tree reduce)."""
-    P = (X, Y, F.ones((_leading(X),)))
-    return cdv.sw_msm_bool(F, mask, P)
+def _bool_partial_kernel(ops, mask, X, Y):
+    """0/1-scalar tile -> ONE projective partial sum (masked tree reduce)."""
+    P = cdv.swp_from_affine(ops, X, Y)
+    return cdv.swp_msm_bool(ops, mask, P)
+
+
+def _take_point(P, idx):
+    """Gather point rows (tuple-of-coords aware) along the leading axis."""
+    def tk(c):
+        if isinstance(c, tuple):
+            return tuple(tk(ci) for ci in c)
+        return jnp.take(c, idx, axis=0)
+
+    return tuple(tk(c) for c in P)
 
 
 @partial(jax.jit, static_argnums=(0,))
-def _finish_kernel(F, JX, JY, JZ):
-    """(COMBINE_WIDTH,) Jacobian partials -> single affine (x, y, inf)."""
-    total = cdv.sw_tree_reduce(F, (JX, JY, JZ))
+def _pippenger_partial_kernel(ops, digits, X, Y):
+    """Sort + prefix-scan Pippenger: (tile, nwin) 8-bit digits -> ONE
+    projective partial sum.
+
+    TPU-native bucket accumulation without scatter (SURVEY.md section 7.3
+    item 3).  Per window w:
+      1. sort points by digit, descending (argsort + row gathers);
+      2. inclusive prefix sums S_k = P_1 + ... + P_k via
+         jax.lax.associative_scan of the COMPLETE projective add — safe for
+         arbitrary collisions (P+P, P-P, identity) by construction;
+      3. window sum = sum_i d_i P_i = sum_{v=1..2^c-1} S_{c_v} with
+         c_v = #\\{i : d_i >= v\\} — a searchsorted + one row gather + one
+         2^c-wide tree reduction, replacing per-bucket scatter entirely.
+    Windows join by Horner on a single running point (c doublings each).
+
+    Work: ~2 complete adds per point per window from the scan (Blelloch) +
+    2^c adds of window tail — ~3x fewer field muls than batched Straus, and
+    doublings are shared across the whole tile instead of per point.
+    """
+    F = ops.F
+    B = _leading(X)
+    P = cdv.swp_from_affine(ops, X, Y)
+    digs = jnp.moveaxis(digits, -1, 0)  # (nwin, B) MSW first
+    nbuckets = 1 << PIPPENGER_C
+    thresholds = jnp.arange(1, nbuckets + 1, dtype=jnp.uint32)  # v = 1..2^c
+    ident1 = cdv.swp_identity(ops, (1,))
+
+    def window_sum(dig):
+        order = jnp.argsort(-dig.astype(jnp.int32))
+        d_s = jnp.take(dig, order)  # descending
+        Ps = _take_point(P, order)
+        S = jax.lax.associative_scan(
+            lambda a, b: cdv.swp_add(ops, a, b), Ps, axis=0
+        )
+        # S_ext[k] = P_1 + ... + P_k, with S_ext[0] = identity
+        S_ext = tuple(_concat_lead(i, s) for i, s in zip(ident1, S))
+        d_asc = d_s[::-1]
+        # c_v = #{i: d_i >= v} = B - first index with d_asc >= v
+        c_v = (B - jnp.searchsorted(d_asc, thresholds, side="left")).astype(
+            jnp.int32
+        )
+        T = _take_point(S_ext, c_v)  # (2^c,) threshold prefix sums
+        return cdv.swp_tree_reduce(ops, T)
+
+    def body(acc, dig):
+        for _ in range(PIPPENGER_C):
+            acc = cdv.swp_double(ops, acc)
+        W = window_sum(dig)
+        return cdv.swp_add(ops, acc, W), None
+
+    acc, _ = jax.lax.scan(body, cdv.swp_identity(ops, ()), digs)
+    return acc
+
+
+def _concat_lead(head, tail):
+    if isinstance(head, tuple):
+        return tuple(_concat_lead(h, t) for h, t in zip(head, tail))
+    return jnp.concatenate([head, tail], axis=0)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _finish_kernel(ops, JX, JY, JZ):
+    """(COMBINE_WIDTH,) projective partials -> single affine (x, y, inf)."""
+    total = cdv.swp_tree_reduce(ops, (JX, JY, JZ))
     one = tuple(_lift0(c) for c in total)
-    x, y, inf = cdv.sw_to_affine(F, one)
-    return x, y, inf
+    return cdv.swp_to_affine(ops, one)
 
 
 @partial(jax.jit, static_argnums=(0,))
-def _affine_tile_kernel(F, JX, JY, JZ):
-    """Batch-normalize a tile of Jacobian points -> (x, y, inf) planes."""
-    return cdv.sw_to_affine(F, (JX, JY, JZ))
+def _affine_tile_kernel(ops, JX, JY, JZ):
+    """Batch-normalize a tile of projective points -> (x, y, inf) planes."""
+    return cdv.swp_to_affine(ops, (JX, JY, JZ))
 
 
 def _lift0(c):
@@ -225,28 +337,34 @@ def _stack_coords(cs):
     return jnp.stack(cs)
 
 
-def combine_partials(F, partials):
-    """List of single-point Jacobians -> single affine (x, y, inf) via the
-    fixed-width finish kernel (hierarchical when > COMBINE_WIDTH chunks)."""
+def _stack_pad_point(ops, partials):
+    """Stack single-point projective partials to (COMBINE_WIDTH, ...); pad
+    slots hold the projective identity (0, 1, 0) — absorbed by the complete
+    law (a zero-padded Y would NOT be: (0,0,0) is a black hole)."""
+    k = len(partials)
+    ident = cdv.swp_identity(ops, ())
+    pads = [ident] * (COMBINE_WIDTH - k)
+    rows = list(partials) + pads
+    return tuple(_stack_coords([p[i] for p in rows]) for i in range(3))
+
+
+def combine_partials(ops, partials):
+    """List of single-point projective partials -> single affine (x, y, inf)
+    via the fixed-width finish kernel (hierarchical when > COMBINE_WIDTH)."""
     while len(partials) > COMBINE_WIDTH:
         groups = [
             partials[i : i + COMBINE_WIDTH]
             for i in range(0, len(partials), COMBINE_WIDTH)
         ]
-        partials = [_combine_group_jac(F, g) for g in groups]
-    JX, JY, JZ = (_coord_pad(_stack_coords([p[i] for p in partials]), COMBINE_WIDTH) for i in range(3))
-    # padded rows have Z = 0 -> treated as infinity by the group law
-    return _finish_kernel(F, JX, JY, JZ)
+        partials = [
+            _reduce_group_kernel(ops, *_stack_pad_point(ops, g)) for g in groups
+        ]
+    return _finish_kernel(ops, *_stack_pad_point(ops, partials))
 
 
 @partial(jax.jit, static_argnums=(0,))
-def _reduce_group_kernel(F, JX, JY, JZ):
-    return cdv.sw_tree_reduce(F, (JX, JY, JZ))
-
-
-def _combine_group_jac(F, group):
-    JX, JY, JZ = (_coord_pad(_stack_coords([p[i] for p in group]), COMBINE_WIDTH) for i in range(3))
-    return _reduce_group_kernel(F, JX, JY, JZ)
+def _reduce_group_kernel(ops, JX, JY, JZ):
+    return cdv.swp_tree_reduce(ops, (JX, JY, JZ))
 
 
 def _chunks(n: int, m: int):
@@ -279,6 +397,7 @@ def msm_device(points: PointArray, scalars, order: int, nbits: int | None = None
     gen_idx = np.nonzero(~is_zero & ~is_one)[0]
 
     F = points.F
+    ops = sw_ops_for_curve(F, points.curve)
     T = tile()
     partials = []
     if ones_idx.size:
@@ -287,19 +406,19 @@ def msm_device(points: PointArray, scalars, order: int, nbits: int | None = None
             chunk = PointArray(F, points.curve, _take_rows(sel.x, s, e), _take_rows(sel.y, s, e)).pad_to(T)
             mask = np.zeros(T, np.uint32)
             mask[: e - s] = 1
-            partials.append(_bool_partial_kernel(F, jnp.asarray(mask), chunk.x, chunk.y))
+            partials.append(_bool_partial_kernel(ops, jnp.asarray(mask), chunk.x, chunk.y))
     if gen_idx.size:
-        nwin = (nbits + WINDOW_BITS - 1) // WINDOW_BITS
-        all_digits = u64_rows_to_digits(rows[gen_idx], nbits)
+        nwin = (nbits + 7) // 8
+        all_digits = u64_rows_to_bytes(rows[gen_idx], nbits)
         sel = points.take(gen_idx.astype(np.int64))
         for s, e in _chunks(len(gen_idx), T):
             chunk = PointArray(F, points.curve, _take_rows(sel.x, s, e), _take_rows(sel.y, s, e)).pad_to(T)
             digits = np.zeros((T, nwin), np.uint32)
             digits[: e - s] = all_digits[s:e]
-            partials.append(_windowed_partial_kernel(F, jnp.asarray(digits), chunk.x, chunk.y))
+            partials.append(_pippenger_partial_kernel(ops, jnp.asarray(digits), chunk.x, chunk.y))
     if not partials:
         return None
-    return combine_partials(F, partials)
+    return combine_partials(ops, partials)
 
 
 def _take_rows(c, s: int, e: int):

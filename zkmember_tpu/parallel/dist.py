@@ -104,18 +104,26 @@ def _coord_spec_rep(c):
 # ---------------------------------------------------------------------------
 
 
-def sharded_field_sum(spec: dv.FieldSpec, mesh: Mesh, vals):
+def sharded_field_sum(spec: dv.FieldSpec, mesh: Mesh, vals, max_log_terms: int = 9):
     """sum_i vals[i] mod p with vals (B, n) sharded over "msm".
 
     Local column sums stay < B_local * 2^16 (caller keeps B_local < 2^15);
-    the cross-device step is an integer psum over ICI, then one carry+mod.
+    the cross-device step is an integer psum over ICI.  The carried total is
+    < B * p with B <= 2^max_log_terms, so the final mod is a ladder of
+    conditional subtractions of p << j (single `_cond_sub_p` only handles
+    values < 2p).
     """
 
     def local(v):
         cols = jnp.sum(v, axis=0, keepdims=True)  # (1, n) u32 columns
         cols = jax.lax.psum(cols, "msm")
-        limbs = dv._carry(cols, spec.n + 1)
-        return dv._cond_sub_p(spec, limbs[..., : spec.n], limbs[..., spec.n])
+        wide = dv._carry(cols, spec.n + 2)  # value < 2^max_log_terms * p
+        nw = spec.n + 2
+        for j in range(max_log_terms, -1, -1):
+            pj = dv.int_to_limbs(spec.p << j, nw)
+            diff, borrow = dv._sub_limbs(wide, jnp.broadcast_to(jnp.asarray(pj), wide.shape), nw)
+            wide = jnp.where((borrow == 0)[..., None], diff, wide)
+        return wide[..., : spec.n]
 
     fn = shard_map(
         local, mesh=mesh, in_specs=P("msm", None), out_specs=P(None, None), check_rep=False

@@ -161,7 +161,9 @@ _FIXED_TABLES: dict = {}
 
 def _fixed_base_table(cfg, base_host, curve, g2: bool):
     """Host-precomputed (n_windows, 16) table: table[w][d] = d * 16^w * G,
-    shipped once as device Jacobian planes (Z=0 rows encode d=0)."""
+    shipped once as device projective planes.  d=0 rows are the projective
+    identity class (X=0, Z=0, any Y != 0 — on the a=0 curve, Z=0 forces
+    X=0, and the complete law treats every (0, y, 0) as identity)."""
     key = (cfg.name, g2)
     if key not in _FIXED_TABLES:
         r = cfg.r
@@ -176,14 +178,14 @@ def _fixed_base_table(cfg, base_host, curve, g2: bool):
                 acc = curve.add(acc, step) if acc is not None else step
             for _ in range(c):
                 step = curve.double(step)
-        # replace None (infinity) rows with the generator but mark Z=0
         inf_mask = np.array([p is None for p in flat], np.uint32)
         pts = [base_host if p is None else p for p in flat]
         tbl = cfg.g2_from_host(pts) if g2 else cfg.g1_from_host(pts)
         F = cfg.F2 if g2 else cfg.F1
-        Z = F.ones((len(pts),))
+        m = jnp.asarray(inf_mask) != 0
         zero = F.zeros((len(pts),))
-        Z = F.select(jnp.asarray(inf_mask) != 0, zero, Z)
+        X = F.select(m, zero, tbl.x)
+        Z = F.select(m, zero, F.ones((len(pts),)))
         nw, T = nwin, 1 << c
 
         def resh(cc):
@@ -191,7 +193,7 @@ def _fixed_base_table(cfg, base_host, curve, g2: bool):
                 return tuple(resh(ci) for ci in cc)
             return cc.reshape((nw, T) + cc.shape[1:])
 
-        _FIXED_TABLES[key] = (resh(tbl.x), resh(tbl.y), resh(Z), nwin)
+        _FIXED_TABLES[key] = (resh(X), resh(tbl.y), resh(Z), nwin)
     return _FIXED_TABLES[key]
 
 
@@ -210,6 +212,7 @@ def _fixed_base_mul_device(cfg, F, base_host, curve, scalars, g2=False):
     if not scalars:
         return None, None, np.zeros((0,), bool)
     TX, TY, TZ, nwin = _fixed_base_table(cfg, base_host, curve, g2)
+    ops = msmmod.sw_ops_for_curve(F, curve)
     B = len(scalars)
     T = msmmod.tile()
     c = msmmod.WINDOW_BITS
@@ -219,8 +222,8 @@ def _fixed_base_mul_device(cfg, F, base_host, curve, scalars, g2=False):
     for s, e in msmmod._chunks(B, T):
         digits = np.zeros((T, nwin), np.uint32)
         digits[: e - s] = dg[s:e]
-        J = _fixed_base_kernel(F, jnp.asarray(digits), TX, TY, TZ)
-        x, y, inf = msmmod._affine_tile_kernel(F, *J)
+        J = _fixed_base_kernel(ops, jnp.asarray(digits), TX, TY, TZ)
+        x, y, inf = msmmod._affine_tile_kernel(ops, *J)
         xs.append(x)
         ys.append(y)
         infs.append(np.asarray(inf)[: e - s])
@@ -248,10 +251,12 @@ from functools import partial
 
 
 @partial(jax.jit, static_argnums=(0,))
-def _fixed_base_kernel(F, digits, TX, TY, TZ):
-    """digits: (B, nwin) LSW-first; T*: (nwin, 16) Jacobian window tables."""
+def _fixed_base_kernel(ops, digits, TX, TY, TZ):
+    """digits: (B, nwin) LSW-first; T*: (nwin, 16) projective window tables.
+    Complete-law adds (curves.device.swp_add): digit-0 table rows are the
+    identity class, so no masking is needed anywhere."""
     B = digits.shape[0]
-    acc0 = cdv.sw_infinity(F, (B,))
+    acc0 = cdv.swp_identity(ops, (B,))
 
     def body(acc, xs):
         tx, ty, tz, dig = xs  # tables (16, ...), digits (B,)
@@ -260,7 +265,7 @@ def _fixed_base_kernel(F, digits, TX, TY, TZ):
             cdv._gather_coord(_bcast_mid(ty, B), dig),
             cdv._gather_coord(_bcast_mid(tz, B), dig),
         )
-        return cdv.sw_add(F, acc, Q), None
+        return cdv.swp_add(ops, acc, Q), None
 
     acc, _ = jax.lax.scan(
         body, acc0, (TX, TY, TZ, jnp.moveaxis(digits, 0, 1))
