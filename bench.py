@@ -39,13 +39,25 @@ def main():
 
     from zkmember_tpu.app import circuits as app
     from zkmember_tpu.app.member import Member, generate_members
-    from zkmember_tpu.snark import groth16
+    from zkmember_tpu.snark import groth16, precompile
     from zkmember_tpu.utils import rng as frng
 
     t0 = time.time()
 
     def mark(msg):
         print(f"# [{time.time()-t0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+    # fire every kernel compile up front, in parallel, overlapping the
+    # host-side parameter sampling / tree build below (remote compiles on
+    # the axon backend are high-latency; serial cold-start blew the driver
+    # timeout in rounds 1-2)
+    # exact circuit size (r1cs.gadgets cost model): leaf rehash 1537 +
+    # 3076/level + depth index bools + is_eq 3 + enforce_true 1
+    depth = max(1, (members - 1).bit_length())
+    n_constraints = 1541 + 3077 * depth
+    M = 1 << (n_constraints + 3 - 1).bit_length()  # +3 instance rows
+    precompile.warm_groth16(domain_size=M, verbose=True)
+    mark(f"precompile fleet launched (domain {M})")
 
     rng = frng.test_rng()
     cfg = app.get_config("pedersen381")

@@ -543,8 +543,7 @@ def swp_scalar_mul_windowed(ops: SWOps, digits, P, c_bits: int = 4):
     digits_t = jnp.moveaxis(digits, -1, 0)  # (nwin, B)
 
     def body(acc, dig):
-        for _ in range(c_bits):
-            acc = swp_double(ops, acc)
+        acc = lax.fori_loop(0, c_bits, lambda _, a: swp_double(ops, a), acc)
         Q = tuple(_gather_coord(t, dig) for t in tab)
         acc = swp_add(ops, acc, Q)
         return acc, None
@@ -560,11 +559,15 @@ def swp_scalar_mul_windowed(ops: SWOps, digits, P, c_bits: int = 4):
 
 
 class TEConsts:
-    """Trace-time curve constants (Montgomery-form limb arrays)."""
+    """Curve constants a, d as Montgomery-form limb arrays.
 
-    def __init__(self, a_mont: np.ndarray, d_mont: np.ndarray):
-        self.a = np.asarray(a_mont)
-        self.d = np.asarray(d_mont)
+    Accepts numpy constants (trace-time) OR traced jax arrays (when a
+    kernel takes the constants as runtime arguments — see
+    hash.pedersen._hash_kernel)."""
+
+    def __init__(self, a_mont, d_mont):
+        self.a = a_mont if hasattr(a_mont, "aval") else np.asarray(a_mont)
+        self.d = d_mont if hasattr(d_mont, "aval") else np.asarray(d_mont)
 
 
 def te_identity(F, shape=()):

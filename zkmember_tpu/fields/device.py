@@ -445,10 +445,21 @@ def fp2_sub(spec: Fp2Spec, a, b):
 
 
 class FpOps:
-    """Field-op vtable over base-field limb arrays (elements: (..., n) u32)."""
+    """Field-op vtable over base-field limb arrays (elements: (..., n) u32).
+
+    Hash/eq by spec: FpOps appears as a static jit argument all over the
+    kernel layer, so two instances over the same field MUST key the same
+    compiled program (object-identity hashing caused silent recompiles).
+    """
 
     def __init__(self, spec: FieldSpec):
         self.spec = spec
+
+    def __hash__(self):
+        return hash(("FpOps", self.spec))
+
+    def __eq__(self, other):
+        return isinstance(other, FpOps) and self.spec == other.spec
 
     def mul(self, a, b):
         return mont_mul(self.spec, a, b)
@@ -498,11 +509,19 @@ class FpOps:
 
 
 class Fp2Ops:
-    """Field-op vtable over Fp2 elements (pairs of limb arrays)."""
+    """Field-op vtable over Fp2 elements (pairs of limb arrays).
+
+    Hash/eq by spec (see FpOps)."""
 
     def __init__(self, spec: Fp2Spec):
         self.spec = spec
         self.base = FpOps(spec.base)
+
+    def __hash__(self):
+        return hash(("Fp2Ops", self.spec))
+
+    def __eq__(self, other):
+        return isinstance(other, Fp2Ops) and self.spec == other.spec
 
     def mul(self, a, b):
         return fp2_mul(self.spec, a, b)

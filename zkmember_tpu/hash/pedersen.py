@@ -152,17 +152,27 @@ def two_to_one_host(params: PedersenParams, left: bytes, right: bytes):
 # ---------------------------------------------------------------------------
 
 
-def hash_bits_device(params: PedersenParams, bits):
-    """Batched Pedersen hash of (B, capacity_bits) 0/1 uint32 bit arrays.
+from functools import partial
 
-    Returns digests as canonical (B, n) uint32 limb arrays (x-coordinates).
-    The scan streams the constant generator table; each step is one batched
+import jax
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _hash_kernel(F, a_mont, d_mont, table_x, table_y, bits):
+    """Batched Pedersen hash core: (B, nbits) bits + (nbits, n) tables ->
+    canonical (B, n) digest limbs.
+
+    Module-level jit with the generator tables as ARGUMENTS (not closed-over
+    constants): the compiled program is keyed only by (field, capacity,
+    batch), so leaf/node params over the same window shape share one
+    program and the persistent compile cache stays valid across parameter
+    resamplings.  The scan streams the table; each step is one batched
     conditional mixed TE addition.
     """
-    F, C = params.F, params.consts
     B = bits.shape[:-1]
     acc0 = cdv.te_identity(F, B)
-    xs = (params.table_x, params.table_y, jnp.moveaxis(bits, -1, 0))
+    xs = (table_x, table_y, jnp.moveaxis(bits, -1, 0))
+    C = cdv.TEConsts(a_mont, d_mont)
 
     def body(acc, x):
         qx, qy, bit = x
@@ -171,7 +181,22 @@ def hash_bits_device(params: PedersenParams, bits):
 
     acc, _ = lax.scan(body, acc0, xs)
     x_aff, _ = cdv.te_to_affine(F, acc)
-    return dv.from_mont(params.spec, x_aff)
+    return dv.from_mont(F.spec, x_aff)
+
+
+def hash_bits_device(params: PedersenParams, bits):
+    """Batched Pedersen hash of (B, capacity_bits) 0/1 uint32 bit arrays.
+
+    Returns digests as canonical (B, n) uint32 limb arrays (x-coordinates).
+    """
+    return _hash_kernel(
+        params.F,
+        jnp.asarray(params.consts.a),
+        jnp.asarray(params.consts.d),
+        params.table_x,
+        params.table_y,
+        bits,
+    )
 
 
 _HASH_TILE: int | None = None
@@ -191,15 +216,6 @@ def hash_tile() -> int:
     return _HASH_TILE
 
 
-def _hash_jit(params: PedersenParams):
-    """Per-params jitted batched hash (tables close over as constants)."""
-    if not hasattr(params, "_jit_fn"):
-        import jax
-
-        params._jit_fn = jax.jit(lambda bits: hash_bits_device(params, bits))
-    return params._jit_fn
-
-
 def hash_bits_tiled(params: PedersenParams, bits_np: np.ndarray) -> np.ndarray:
     """Hash (B, capacity_bits) host bit rows at the canonical tile shape.
 
@@ -209,13 +225,12 @@ def hash_bits_tiled(params: PedersenParams, bits_np: np.ndarray) -> np.ndarray:
     """
     B = bits_np.shape[0]
     T = hash_tile()
-    fn = _hash_jit(params)
     outs = []
     for s in range(0, B, T):
         e = min(s + T, B)
         buf = np.zeros((T, bits_np.shape[1]), np.uint32)
         buf[: e - s] = bits_np[s:e]
-        outs.append(np.asarray(fn(jnp.asarray(buf)))[: e - s])
+        outs.append(np.asarray(hash_bits_device(params, jnp.asarray(buf)))[: e - s])
     return np.concatenate(outs, axis=0)
 
 

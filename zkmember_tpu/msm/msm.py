@@ -235,6 +235,34 @@ def _take_point(P, idx):
     return tuple(tk(c) for c in P)
 
 
+def _swp_inclusive_scan(ops, P, B: int):
+    """Inclusive prefix sums S_k = P_0 + ... + P_k over the leading axis.
+
+    Hillis-Steele over log2(B) rounds, each round ONE batched complete add
+    against a dynamically-shifted copy (shift amounts ride the scan as
+    inputs, the shifted-in tail is the projective identity).  The traced
+    body holds exactly one point addition — jax.lax.associative_scan
+    unrolled ~2 log2(B) additions into the trace, and that single program's
+    remote compile (axon backend) took minutes.
+    """
+    assert B & (B - 1) == 0, "tile must be a power of two"
+    ident = cdv.swp_identity(ops, (B,))
+    shifts = jnp.asarray([1 << k for k in range((B - 1).bit_length())], jnp.int32)
+
+    def shift_down(c, icol, s):
+        if isinstance(c, tuple):
+            return tuple(shift_down(ci, ii, s) for ci, ii in zip(c, icol))
+        pad = jnp.concatenate([icol, c], axis=0)  # (2B, ...)
+        return jax.lax.dynamic_slice_in_dim(pad, B - s, B, axis=0)
+
+    def body(S, s):
+        Sh = tuple(shift_down(c, i, s) for c, i in zip(S, ident))
+        return cdv.swp_add(ops, S, Sh), None
+
+    S, _ = jax.lax.scan(body, P, shifts)
+    return S
+
+
 @partial(jax.jit, static_argnums=(0,))
 def _pippenger_partial_kernel(ops, digits, X, Y):
     """Sort + prefix-scan Pippenger: (tile, nwin) 8-bit digits -> ONE
@@ -243,17 +271,16 @@ def _pippenger_partial_kernel(ops, digits, X, Y):
     TPU-native bucket accumulation without scatter (SURVEY.md section 7.3
     item 3).  Per window w:
       1. sort points by digit, descending (argsort + row gathers);
-      2. inclusive prefix sums S_k = P_1 + ... + P_k via
-         jax.lax.associative_scan of the COMPLETE projective add — safe for
-         arbitrary collisions (P+P, P-P, identity) by construction;
+      2. inclusive prefix sums S_k = P_1 + ... + P_k (_swp_inclusive_scan);
       3. window sum = sum_i d_i P_i = sum_{v=1..2^c-1} S_{c_v} with
          c_v = #\\{i : d_i >= v\\} — a searchsorted + one row gather + one
          2^c-wide tree reduction, replacing per-bucket scatter entirely.
     Windows join by Horner on a single running point (c doublings each).
 
-    Work: ~2 complete adds per point per window from the scan (Blelloch) +
-    2^c adds of window tail — ~3x fewer field muls than batched Straus, and
-    doublings are shared across the whole tile instead of per point.
+    All inner loops are lax.scan / fori_loop with single-addition bodies, so
+    the whole kernel traces to a few point operations regardless of tile
+    size or scalar width (remote-compile latency is the binding constraint
+    on this backend; see _swp_inclusive_scan).
     """
     F = ops.F
     B = _leading(X)
@@ -267,9 +294,7 @@ def _pippenger_partial_kernel(ops, digits, X, Y):
         order = jnp.argsort(-dig.astype(jnp.int32))
         d_s = jnp.take(dig, order)  # descending
         Ps = _take_point(P, order)
-        S = jax.lax.associative_scan(
-            lambda a, b: cdv.swp_add(ops, a, b), Ps, axis=0
-        )
+        S = _swp_inclusive_scan(ops, Ps, B)
         # S_ext[k] = P_1 + ... + P_k, with S_ext[0] = identity
         S_ext = tuple(_concat_lead(i, s) for i, s in zip(ident1, S))
         d_asc = d_s[::-1]
@@ -281,8 +306,9 @@ def _pippenger_partial_kernel(ops, digits, X, Y):
         return cdv.swp_tree_reduce(ops, T)
 
     def body(acc, dig):
-        for _ in range(PIPPENGER_C):
-            acc = cdv.swp_double(ops, acc)
+        acc = jax.lax.fori_loop(
+            0, PIPPENGER_C, lambda _, a: cdv.swp_double(ops, a), acc
+        )
         W = window_sum(dig)
         return cdv.swp_add(ops, acc, W), None
 

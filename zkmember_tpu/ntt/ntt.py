@@ -86,13 +86,19 @@ class Domain:
             p, N = self.spec.p, self.size
             w = self.w_inv if inverse else self.w
             logn = N.bit_length() - 1
-            i = np.arange(N // 2, dtype=object)
             stages = []
             for s in range(logn):
-                exps = (i >> s) << s
-                stages.append(
-                    self.spec.to_mont_host([pow(w, int(e), p) for e in exps])
-                )
+                # lane i uses w^((i >> s) << s): a geometric sequence in
+                # w^(2^s) of length N/2^(s+1), each term repeated 2^s times
+                # (incremental products -- pow() per lane was an O(N log N
+                # log p) host hotspot that serialized prover warm-up)
+                step = pow(w, 1 << s, p)
+                count = N >> (s + 1)
+                seq = [1] * count
+                for k in range(1, count):
+                    seq[k] = seq[k - 1] * step % p
+                lane = [seq[i >> s] for i in range(N // 2)]
+                stages.append(self.spec.to_mont_host(lane))
             self._stage_tw[inverse] = np.stack(stages)
         return self._stage_tw[inverse]
 
@@ -100,10 +106,10 @@ class Domain:
         if inverse not in self._coset_pows:
             p, N = self.spec.p, self.size
             g = self.coset_gen_inv if inverse else self.coset_gen
-            scale = self.size_inv if inverse else 1
-            self._coset_pows[inverse] = self.spec.to_mont_host(
-                [pow(g, j, p) * scale % p for j in range(N)]
-            )
+            seq = [self.size_inv if inverse else 1] * N
+            for j in range(1, N):
+                seq[j] = seq[j - 1] * g % p
+            self._coset_pows[inverse] = self.spec.to_mont_host(seq)
         return self._coset_pows[inverse]
 
     def vanishing_on_coset(self) -> int:
