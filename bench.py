@@ -56,7 +56,7 @@ def main():
     depth = max(1, (members - 1).bit_length())
     n_constraints = 1541 + 3077 * depth
     M = 1 << (n_constraints + 3 - 1).bit_length()  # +3 instance rows
-    precompile.warm_groth16(domain_size=M, verbose=True)
+    fleet = precompile.warm_groth16(domain_size=M, verbose=True)
     mark(f"precompile fleet launched (domain {M})")
 
     rng = frng.test_rng()
@@ -65,6 +65,11 @@ def main():
     mark("pedersen params")
 
     ms = generate_members(members)
+    # wait for the compile fleet before touching the device: a second
+    # in-flight compile of the same program is NOT deduped against the
+    # fleet's and would queue behind it on the remote compile service
+    fleet.join()
+    mark("all kernels compiled")
     digests = Member.hash_batch(leaf_params, ms)
     mark(f"{members} leaf digests")
     tree = app.new_membership_tree(leaf_params, node_params, digests)

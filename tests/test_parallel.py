@@ -51,6 +51,21 @@ def test_sharded_field_sum():
     assert got == sum(vals) * spec.R % spec.p * pow(spec.R, -1, spec.p) % spec.p
 
 
+def test_sharded_ntt_matches_single_chip():
+    """Four-step all_to_all NTT == single-chip Pease NTT (natural order)."""
+    from zkmember_tpu import ntt as nttmod
+
+    rng = random.Random(24)
+    spec = dv.BLS_FR
+    mesh = dist.make_mesh(8, dp=1)  # all 8 devices on the "msm" axis
+    N = 256
+    vals = [rng.randrange(spec.p) for _ in range(N)]
+    x = jnp.asarray(spec.to_mont_host(vals))
+    want = np.asarray(nttmod.ntt(nttmod.Domain.get(spec, N), x))
+    got = np.asarray(dist.sharded_ntt(spec, mesh, x))
+    assert (got == want).all()
+
+
 def test_sharded_two_to_one():
     from zkmember_tpu.app import circuits as app
     from zkmember_tpu.hash import pedersen as ph

@@ -393,46 +393,54 @@ def swp_from_affine(ops: SWOps, x, y):
 
 
 def swp_add(ops: SWOps, P, Q):
-    """Complete projective addition (RCB15 Alg. 7, a=0): 12M, branchless."""
+    """Complete projective addition (RCB15 Alg. 7, a=0): 12M, branchless.
+
+    The 12 field products are issued as TWO stacked multiplies of 6
+    independent rows each (F.mul_many) — the MXU wants one fat matmul per
+    dependency wave, not twelve thin ones (see fields.device.mont_mul_many).
+    """
     F = ops.F
     X1, Y1, Z1 = P
     X2, Y2, Z2 = Q
-    t0 = F.mul(X1, X2)
-    t1 = F.mul(Y1, Y2)
-    t2 = F.mul(Z1, Z2)
-    t3 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
+    t0, t1, t2, t3, t4, ty = F.mul_many(
+        [
+            (X1, X2),
+            (Y1, Y2),
+            (Z1, Z2),
+            (F.add(X1, Y1), F.add(X2, Y2)),
+            (F.add(Y1, Z1), F.add(Y2, Z2)),
+            (F.add(X1, Z1), F.add(X2, Z2)),
+        ]
+    )
     t3 = F.sub(t3, F.add(t0, t1))  # X1Y2 + X2Y1
-    t4 = F.mul(F.add(Y1, Z1), F.add(Y2, Z2))
     t4 = F.sub(t4, F.add(t1, t2))  # Y1Z2 + Y2Z1
-    ty = F.mul(F.add(X1, Z1), F.add(X2, Z2))
     ty = F.sub(ty, F.add(t0, t2))  # X1Z2 + X2Z1
     t0 = _mul_small(F, t0, 3)  # 3 X1X2
     t2 = ops.mul_b3(t2)  # b3 Z1Z2
     Z3 = F.add(t1, t2)  # Y1Y2 + b3 Z1Z2
     t1 = F.sub(t1, t2)  # Y1Y2 - b3 Z1Z2
     ty = ops.mul_b3(ty)  # b3 (X1Z2 + X2Z1)
-    X3 = F.sub(F.mul(t3, t1), F.mul(t4, ty))
-    Y3 = F.add(F.mul(ty, t0), F.mul(t1, Z3))
-    Z3 = F.add(F.mul(Z3, t4), F.mul(t0, t3))
-    return (X3, Y3, Z3)
+    m0, m1, m2, m3, m4, m5 = F.mul_many(
+        [(t3, t1), (t4, ty), (ty, t0), (t1, Z3), (Z3, t4), (t0, t3)]
+    )
+    return (F.sub(m0, m1), F.add(m2, m3), F.add(m4, m5))
 
 
 def swp_double(ops: SWOps, P):
-    """Complete projective doubling (RCB15 Alg. 9, a=0): 7M, branchless."""
+    """Complete projective doubling (RCB15 Alg. 9, a=0): 7M, branchless.
+
+    Issued as two stacked multiply waves of 4 rows each (see swp_add)."""
     F = ops.F
     X, Y, Z = P
-    t0 = F.sqr(Y)
+    t0, t1, zz, xy = F.mul_many([(Y, Y), (Y, Z), (Z, Z), (X, Y)])
     Z3 = _mul_small(F, t0, 8)  # 8Y^2
-    t1 = F.mul(Y, Z)
-    t2 = ops.mul_b3(F.sqr(Z))  # b3 Z^2
-    X3 = F.mul(t2, Z3)
+    t2 = ops.mul_b3(zz)  # b3 Z^2
     Y3 = F.add(t0, t2)
-    Z3 = F.mul(t1, Z3)
-    t2 = _mul_small(F, t2, 3)
-    t0 = F.sub(t0, t2)
-    Y3 = F.add(X3, F.mul(t0, Y3))
-    X3 = F.double(F.mul(t0, F.mul(X, Y)))
-    return (X3, Y3, Z3)
+    t0 = F.sub(t0, _mul_small(F, t2, 3))
+    X3w, Z3w, Y3w, XYw = F.mul_many(
+        [(t2, Z3), (t1, Z3), (t0, Y3), (t0, xy)]
+    )
+    return (F.double(XYw), F.add(X3w, Y3w), Z3w)
 
 
 def swp_select(ops: SWOps, mask, P, Q):
@@ -575,23 +583,28 @@ def te_identity(F, shape=()):
 
 
 def te_add(F, C: TEConsts, P, Q):
-    """Unified extended addition (add-2008-hwcd), complete for our curves."""
+    """Unified extended addition (add-2008-hwcd), complete for our curves.
+
+    Three stacked multiply waves (5 + 2 + 4 rows; see swp_add)."""
     X1, Y1, T1, Z1 = P
     X2, Y2, T2, Z2 = Q
     a = F.broadcast_const(C.a, _batch_shape(F, X1))
     d = F.broadcast_const(C.d, _batch_shape(F, X1))
-    A = F.mul(X1, X2)
-    B = F.mul(Y1, Y2)
-    Cc = F.mul(F.mul(d, T1), T2)
-    D = F.mul(Z1, Z2)
-    E = F.sub(F.sub(F.mul(F.add(X1, Y1), F.add(X2, Y2)), A), B)
+    A, B, D, Emul, dT1 = F.mul_many(
+        [
+            (X1, X2),
+            (Y1, Y2),
+            (Z1, Z2),
+            (F.add(X1, Y1), F.add(X2, Y2)),
+            (d, T1),
+        ]
+    )
+    Cc, aA = F.mul_many([(dT1, T2), (a, A)])
+    E = F.sub(F.sub(Emul, A), B)
     Fv = F.sub(D, Cc)
     G = F.add(D, Cc)
-    H = F.sub(B, F.mul(a, A))
-    X3 = F.mul(E, Fv)
-    Y3 = F.mul(G, H)
-    T3 = F.mul(E, H)
-    Z3 = F.mul(Fv, G)
+    H = F.sub(B, aA)
+    X3, Y3, T3, Z3 = F.mul_many([(E, Fv), (G, H), (E, H), (Fv, G)])
     return (X3, Y3, T3, Z3)
 
 
@@ -601,6 +614,7 @@ def te_add_affine_const(F, C: TEConsts, P, qx_mont, qy_mont):
     Z2 = 1, T2 = qx*qy precomputed at trace time: saves 2 muls and the
     broadcast bookkeeping — this is the Pedersen hash inner loop.
     qx_mont/qy_mont: (n,) or (B, n) Montgomery limb arrays.
+    Three stacked multiply waves (5 + 2 + 4 rows; see swp_add).
     """
     X1, Y1, T1, Z1 = P
     shape = _batch_shape(F, X1)
@@ -608,15 +622,16 @@ def te_add_affine_const(F, C: TEConsts, P, qx_mont, qy_mont):
     qy = jnp.broadcast_to(jnp.asarray(qy_mont), tuple(shape) + (qy_mont.shape[-1],))
     a = F.broadcast_const(C.a, shape)
     d = F.broadcast_const(C.d, shape)
-    A = F.mul(X1, qx)
-    B = F.mul(Y1, qy)
-    T2 = F.mul(qx, qy)
-    Cc = F.mul(F.mul(d, T1), T2)
-    E = F.sub(F.sub(F.mul(F.add(X1, Y1), F.add(qx, qy)), A), B)
+    A, B, T2, Emul, dT1 = F.mul_many(
+        [(X1, qx), (Y1, qy), (qx, qy), (F.add(X1, Y1), F.add(qx, qy)), (d, T1)]
+    )
+    Cc, aA = F.mul_many([(dT1, T2), (a, A)])
+    E = F.sub(F.sub(Emul, A), B)
     Fv = F.sub(Z1, Cc)
     G = F.add(Z1, Cc)
-    H = F.sub(B, F.mul(a, A))
-    return (F.mul(E, Fv), F.mul(G, H), F.mul(E, H), F.mul(Fv, G))
+    H = F.sub(B, aA)
+    X3, Y3, T3, Z3 = F.mul_many([(E, Fv), (G, H), (E, H), (Fv, G)])
+    return (X3, Y3, T3, Z3)
 
 
 def te_cond_add_affine(F, C: TEConsts, P, qx_mont, qy_mont, bit):

@@ -235,25 +235,25 @@ def _take_point(P, idx):
     return tuple(tk(c) for c in P)
 
 
-def _swp_inclusive_scan(ops, P, B: int):
-    """Inclusive prefix sums S_k = P_0 + ... + P_k over the leading axis.
-
-    Hillis-Steele over log2(B) rounds, each round ONE batched complete add
-    against a dynamically-shifted copy (shift amounts ride the scan as
-    inputs, the shifted-in tail is the projective identity).  The traced
-    body holds exactly one point addition — jax.lax.associative_scan
-    unrolled ~2 log2(B) additions into the trace, and that single program's
-    remote compile (axon backend) took minutes.
+def _hs_prefix(ops, P, rows: int, axis_len: int):
+    """Hillis-Steele inclusive prefix over the LAST batch axis of a
+    (rows, axis_len) point grid: log2(axis_len) rounds, each ONE batched
+    complete add against a dynamically-shifted copy (shift amounts ride the
+    scan; the shifted-in head is the projective identity).  The traced body
+    holds exactly one point addition — jax.lax.associative_scan unrolled
+    ~2 log2(B) additions into the trace, and that single program's remote
+    compile (axon backend) took minutes / OOM-killed the compile helper.
     """
-    assert B & (B - 1) == 0, "tile must be a power of two"
-    ident = cdv.swp_identity(ops, (B,))
-    shifts = jnp.asarray([1 << k for k in range((B - 1).bit_length())], jnp.int32)
+    ident = cdv.swp_identity(ops, (rows, axis_len))
+    shifts = jnp.asarray(
+        [1 << k for k in range((axis_len - 1).bit_length())], jnp.int32
+    )
 
     def shift_down(c, icol, s):
         if isinstance(c, tuple):
             return tuple(shift_down(ci, ii, s) for ci, ii in zip(c, icol))
-        pad = jnp.concatenate([icol, c], axis=0)  # (2B, ...)
-        return jax.lax.dynamic_slice_in_dim(pad, B - s, B, axis=0)
+        pad = jnp.concatenate([icol, c], axis=1)  # (rows, 2L, ...)
+        return jax.lax.dynamic_slice_in_dim(pad, axis_len - s, axis_len, axis=1)
 
     def body(S, s):
         Sh = tuple(shift_down(c, i, s) for c, i in zip(S, ident))
@@ -261,6 +261,63 @@ def _swp_inclusive_scan(ops, P, B: int):
 
     S, _ = jax.lax.scan(body, P, shifts)
     return S
+
+
+def _swp_inclusive_scan(ops, P, B: int):
+    """Inclusive prefix sums S_k = P_0 + ... + P_k over the leading axis.
+
+    Two-level decomposition: reshape (B,) -> (G, B/G) with G = sqrt(B);
+    intra-group Hillis-Steele prefix (log2(B/G) full-width rounds), then a
+    prefix over the G group totals, then one full-width combine add.  Total
+    element additions ~ (log2(B)/2 + 1) * B — about 1.7x fewer than a flat
+    Hillis-Steele — while the trace still holds ~3 point additions.
+    """
+    assert B & (B - 1) == 0, "tile must be a power of two"
+    logb = (B - 1).bit_length()
+    if B <= 64:
+        flat = tuple(_split_lead(c, 1, B) for c in P)
+        S = _hs_prefix(ops, flat, 1, B)
+        return tuple(_merge_lead(c, B) for c in S)
+    gl = logb // 2  # log2(group length)
+    L = 1 << gl  # group length
+    G = B >> gl  # number of groups
+    grid = tuple(_split_lead(c, G, L) for c in P)
+    intra = _hs_prefix(ops, grid, G, L)  # (G, L) intra-group prefixes
+    totals = tuple(_index_last(c) for c in intra)  # (G,) group totals
+    tot_grid = tuple(_split_lead(c, 1, G) for c in totals)
+    tot_prefix = _hs_prefix(ops, tot_grid, 1, G)  # inclusive over groups
+    # exclusive shift: group g gets sum of totals of groups < g
+    ident1 = cdv.swp_identity(ops, (1, 1))
+    excl = tuple(_shift_right_one(c, i) for c, i in zip(tot_prefix, ident1))
+    excl_col = tuple(_split_lead(c, G, 1) for c in excl)
+    S = cdv.swp_add(ops, intra, excl_col)  # broadcast add down each group
+    return tuple(_merge_lead(c, B) for c in S)
+
+
+def _split_lead(c, G: int, L: int):
+    """(G*L, ...) -> (G, L, ...), tuple-of-coords aware."""
+    if isinstance(c, tuple):
+        return tuple(_split_lead(ci, G, L) for ci in c)
+    return c.reshape((G, L) + c.shape[1:])
+
+
+def _merge_lead(c, B: int):
+    """(G, L, ...) -> (B, ...), tuple-of-coords aware."""
+    if isinstance(c, tuple):
+        return tuple(_merge_lead(ci, B) for ci in c)
+    return c.reshape((B,) + c.shape[2:])
+
+
+def _index_last(c):
+    if isinstance(c, tuple):
+        return tuple(_index_last(ci) for ci in c)
+    return c[:, -1]
+
+
+def _shift_right_one(c, ident):
+    if isinstance(c, tuple):
+        return tuple(_shift_right_one(ci, ii) for ci, ii in zip(c, ident))
+    return jnp.concatenate([ident, c[:, :-1]], axis=1)[0]
 
 
 @partial(jax.jit, static_argnums=(0,))

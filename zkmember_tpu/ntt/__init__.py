@@ -1,1 +1,9 @@
-from zkmember_tpu.ntt.ntt import Domain, ntt, intt, coset_ntt, coset_intt  # noqa: F401
+from zkmember_tpu.ntt.ntt import (  # noqa: F401
+    Domain,
+    ntt,
+    intt,
+    coset_ntt,
+    coset_intt,
+    _fft_core,
+    _fft_core_axis,
+)

@@ -143,6 +143,20 @@ def _fft_core(domain: Domain, x, inverse: bool):
     return x[..., jnp.asarray(domain._perm), :]
 
 
+def _fft_core_axis(domain: Domain, x, axis: int, inverse: bool):
+    """_fft_core along an arbitrary axis (limb axis stays last).
+
+    Used by the multi-chip four-step NTT (parallel.dist.sharded_ntt), whose
+    row/column transforms run along different axes of the (N1, N2) grid.
+    """
+    axis = axis % x.ndim
+    if axis == x.ndim - 2:
+        return _fft_core(domain, x, inverse)
+    y = jnp.moveaxis(x, axis, -2)
+    y = _fft_core(domain, y, inverse)
+    return jnp.moveaxis(y, -2, axis)
+
+
 def ntt(domain: Domain, coeffs):
     """Coefficients -> evaluations over the domain (Montgomery form)."""
     return _fft_core(domain, coeffs, inverse=False)

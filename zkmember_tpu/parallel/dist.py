@@ -132,6 +132,95 @@ def sharded_field_sum(spec: dv.FieldSpec, mesh: Mesh, vals, max_log_terms: int =
 
 
 # ---------------------------------------------------------------------------
+# multi-chip NTT: four-step decomposition, ONE all_to_all over the mesh
+# ---------------------------------------------------------------------------
+
+
+_TW_CACHE: dict = {}
+
+
+def _fourstep_twiddles(spec, N1: int, N2: int) -> np.ndarray:
+    """(N1, N2) Montgomery table of w^(j1*k2), w = canonical root of order
+    N1*N2 (incremental products; cached per (field, N1, N2))."""
+    key = (spec.p, N1, N2)
+    if key not in _TW_CACHE:
+        from zkmember_tpu import ntt as nttmod
+
+        p = spec.p
+        w = nttmod.Domain.get(spec, N1 * N2).w
+        rows = []
+        wj = 1
+        for _ in range(N1):
+            row = [1] * N2
+            for k in range(1, N2):
+                row[k] = row[k - 1] * wj % p
+            rows.append(spec.to_mont_host(row))
+            wj = wj * w % p
+        _TW_CACHE[key] = np.stack(rows)  # (N1, N2, n)
+    return _TW_CACHE[key]
+
+
+def sharded_ntt(spec, mesh: Mesh, values, axis: str = "msm"):
+    """NTT of size N = len(values) with the butterfly axis sharded over
+    `axis` — the TPU-native equivalent of ark-poly's parallel FFT at
+    domains exceeding one chip (SURVEY.md sections 2.3 / 7.1 item 3).
+
+    Four-step algorithm: reshape to (N1, N2) with N1 = rows sharded across
+    devices; (1) local row NTTs of length N2, (2) local twiddle scaling by
+    w^(j1 k2), (3) ONE all_to_all redistributing columns, (4) local column
+    NTTs of length N1.  Communication is a single balanced all-to-all over
+    ICI instead of per-stage exchanges.
+
+    values: (N, n_limbs) Montgomery coefficients, natural order, replicated.
+    Returns the (N, n_limbs) evaluations, natural order, replicated (the
+    production path would keep the output sharded; the final all_gather
+    exists so single-host callers get a plain array).
+    """
+    from zkmember_tpu import ntt as nttmod
+
+    D = mesh.shape[axis]
+    N = values.shape[0]
+    assert N & (N - 1) == 0 and N % (D * D) == 0, (
+        "N must be a power of two with D | N1 and D | N2"
+    )
+    N1 = max(D, 1 << (N.bit_length() // 2))  # ~sqrt(N), multiple of D
+    N2 = N // N1
+    dom1 = nttmod.Domain.get(spec, N1)
+    dom2 = nttmod.Domain.get(spec, N2)
+    tw = jnp.asarray(_fourstep_twiddles(spec, N1, N2))
+
+    # x_mat[j1, j2] = x[j1 + N1*j2]
+    x_mat = jnp.moveaxis(values.reshape(N2, N1, spec.n), 0, 1)
+
+    def local(xm, twm):
+        # xm: (N1/D, N2, n) — row NTTs along axis 0 of each row's N2 axis
+        a = nttmod._fft_core_axis(dom2, xm, axis=1, inverse=False)
+        b = dv.mont_mul(spec, a, twm)
+        # redistribute: split the k2 axis into D chunks, all_to_all so each
+        # device ends with full-j1 columns for its k2 slice
+        b = b.reshape(N1 // D, D, N2 // D, spec.n)
+        b = jax.lax.all_to_all(b, axis, split_axis=1, concat_axis=0, tiled=False)
+        # now (D, N1/D, N2/D, n) -> (N1, N2/D, n)
+        b = b.reshape(N1, N2 // D, spec.n)
+        c = nttmod._fft_core_axis(dom1, b, axis=0, inverse=False)
+        # gather k2 slices back so every device holds the full (N1, N2)
+        full = jax.lax.all_gather(c, axis, axis=0, tiled=False)
+        # (D, N1, N2/D, n) -> (N1, N2, n): k2 = dev*(N2/D) + local
+        full = jnp.moveaxis(full, 0, 1).reshape(N1, N2, spec.n)
+        return full
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None, None)),
+        out_specs=P(None, None, None),
+        check_rep=False,
+    )
+    C = fn(x_mat, tw)  # C[k1, k2] = X[k2 + N2*k1]
+    return C.reshape(N, spec.n)
+
+
+# ---------------------------------------------------------------------------
 # data-parallel hashing: leaves split over the full mesh
 # ---------------------------------------------------------------------------
 
