@@ -61,10 +61,16 @@ class PedersenParams:
     """Sampled generator tables for one (curve, window) configuration.
 
     Host side keeps affine points as Python-int pairs (for the host hash and
-    for embedding into circuits); device side keeps two (capacity_bits, n)
-    Montgomery limb planes (x and y of each table point, bit-major order:
-    table point for absolute bit position k = 2^(k % WINDOW_SIZE) * g_(k //
-    WINDOW_SIZE)).
+    for embedding into circuits); device side keeps:
+      * (capacity_bits, n) Montgomery planes of the per-bit table points
+        (bit-major: point for absolute bit k = 2^(k % WINDOW_SIZE) *
+        g_(k // WINDOW_SIZE)) — consumed by the R1CS gadget layer;
+      * (num_windows, 2^WINDOW_SIZE, n) per-window digit tables
+        digit_table[w][v] = [v] g_w — since the reference's window layout is
+        exactly powers-of-two multiples of one generator per window
+        (pedersen::CRH), the whole window collapses to one scalar multiple.
+        The device hash then needs ONE table lookup per window instead of
+        WINDOW_SIZE conditional adds (see _hash_kernel).
     """
 
     def __init__(self, curve, window: Window, rng):
@@ -72,8 +78,10 @@ class PedersenParams:
         self.window = window
         field = curve.field
         pts = []
+        gens = []
         for _ in range(window.num_windows):
             g = _sample_group_element(curve, rng)
+            gens.append(g)
             for _ in range(window.window_size):
                 pts.append(g)
                 g = curve.double(g)
@@ -87,6 +95,23 @@ class PedersenParams:
         self.table_y = jnp.asarray(ys)
         self.consts = cdv.TEConsts(spec.mont_scalar(curve.a.v), spec.mont_scalar(curve.d.v))
         self.F = dv.FpOps(spec)
+        # per-window digit tables: [v] g_w for v in [0, 2^ws)
+        T = 1 << window.window_size
+        dig_pts = []
+        for g in gens:
+            acc = curve.identity()
+            for _ in range(T):
+                dig_pts.append(acc)
+                acc = curve.add(acc, g)
+        nw = window.num_windows
+        dx = spec.to_mont_host([p[0].v for p in dig_pts]).reshape(nw, T, spec.n)
+        dy = spec.to_mont_host([p[1].v for p in dig_pts]).reshape(nw, T, spec.n)
+        dt = spec.to_mont_host(
+            [p[0].v * p[1].v % field.p for p in dig_pts]
+        ).reshape(nw, T, spec.n)
+        self.digit_x = jnp.asarray(dx)
+        self.digit_y = jnp.asarray(dy)
+        self.digit_t = jnp.asarray(dt)  # T = x*y (extended coord, Z = 1)
 
 
 def _spec_for_modulus(p: int) -> dv.FieldSpec:
@@ -157,31 +182,71 @@ from functools import partial
 import jax
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _hash_kernel(F, a_mont, d_mont, table_x, table_y, bits):
-    """Batched Pedersen hash core: (B, nbits) bits + (nbits, n) tables ->
-    canonical (B, n) digest limbs.
+@partial(jax.jit, static_argnums=(0, 1))
+def _hash_kernel(F, window_size: int, a_mont, d_mont, dig_x, dig_y, dig_t, bits):
+    """Batched Pedersen hash core: (B, nbits) bits + (nw, 2^ws, n) per-window
+    digit tables -> canonical (B, n) digest limbs.
 
-    Module-level jit with the generator tables as ARGUMENTS (not closed-over
-    constants): the compiled program is keyed only by (field, capacity,
-    batch), so leaf/node params over the same window shape share one
-    program and the persistent compile cache stays valid across parameter
-    resamplings.  The scan streams the table; each step is one batched
-    conditional mixed TE addition.
+    Module-level jit with the tables as ARGUMENTS (not closed-over
+    constants): the compiled program is keyed only by (field, window shape,
+    batch), so leaf/node params over the same window share one program and
+    the persistent compile cache stays valid across parameter resamplings.
+
+    Pipeline (replaces the old 1-conditional-add-per-BIT scan, whose
+    capacity_bits sequential waves made leaf hashing latency-bound):
+      1. bits -> per-window digits (LSB-first within a window, matching
+         pedersen::CRH's table[w][j] = 2^j g_w layout, so the window's
+         contribution is just [digit] g_w);
+      2. ONE exact-f32 one-hot MXU contraction looks up all (B, nw) table
+         points at once;
+      3. log2(nw) rounds of batched unified TE additions tree-reduce the
+         window axis.
     """
-    B = bits.shape[:-1]
-    acc0 = cdv.te_identity(F, B)
-    xs = (table_x, table_y, jnp.moveaxis(bits, -1, 0))
+    spec = F.spec
+    B, cap = bits.shape
+    nw, T = dig_x.shape[0], dig_x.shape[1]
+    assert cap == nw * window_size
+    weights = (1 << jnp.arange(window_size, dtype=jnp.uint32))
+    digits = (bits.reshape(B, nw, window_size) * weights).sum(-1)  # (B, nw)
+
+    oh = jax.nn.one_hot(digits, T, dtype=jnp.float32)  # (B, nw, T)
+
+    def look(tbl):
+        # (B, nw, T) . (nw, T, n) -> (B, nw, n); exact: one 1.0 per row and
+        # every table limb < 2^16 < 2^24.
+        cols = jnp.einsum(
+            "bwt,wtn->bwn",
+            oh,
+            tbl.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return cols.astype(jnp.uint32)
+
+    X, Y, Tc = look(dig_x), look(dig_y), look(dig_t)
+    Z = F.ones((B, nw))
+
+    # pad the window axis to a power of two with the TE identity (0,1,0,1)
+    L = 1 << (nw - 1).bit_length()
+    if L != nw:
+        pad = [(0, 0), (0, L - nw), (0, 0)]
+        X = jnp.pad(X, pad)
+        Tc = jnp.pad(Tc, pad)
+        one_col = jnp.broadcast_to(
+            jnp.asarray(spec.one_mont), (B, L - nw, spec.n)
+        )
+        Y = jnp.concatenate([Y, one_col], axis=1)
+        Z = jnp.concatenate([Z, one_col], axis=1)
+
     C = cdv.TEConsts(a_mont, d_mont)
-
-    def body(acc, x):
-        qx, qy, bit = x
-        acc = cdv.te_cond_add_affine(F, C, acc, qx, qy, bit)
-        return acc, None
-
-    acc, _ = lax.scan(body, acc0, xs)
+    P = (X, Y, Tc, Z)
+    while L > 1:
+        e = tuple(c[:, 0::2] for c in P)
+        o = tuple(c[:, 1::2] for c in P)
+        P = cdv.te_add(F, C, e, o)
+        L //= 2
+    acc = tuple(c[:, 0] for c in P)
     x_aff, _ = cdv.te_to_affine(F, acc)
-    return dv.from_mont(F.spec, x_aff)
+    return dv.from_mont(spec, x_aff)
 
 
 def hash_bits_device(params: PedersenParams, bits):
@@ -191,10 +256,12 @@ def hash_bits_device(params: PedersenParams, bits):
     """
     return _hash_kernel(
         params.F,
+        params.window.window_size,
         jnp.asarray(params.consts.a),
         jnp.asarray(params.consts.d),
-        params.table_x,
-        params.table_y,
+        params.digit_x,
+        params.digit_y,
+        params.digit_t,
         bits,
     )
 

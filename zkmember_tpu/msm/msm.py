@@ -8,7 +8,7 @@ every distinct jitted program costs tens of seconds of cold-start):
   * every kernel runs on a FIXED canonical tile shape (`tile()`); callers
     pad/chunk on the host, so the whole framework compiles ONE program per
     (kernel, field) pair regardless of circuit size;
-  * kernels fuse their reduction: `_windowed_partial` / `_bool_partial` map
+  * kernels fuse their reduction: `_pippenger_partial` / `_bool_partial` map
     a tile of points directly to a single projective partial sum, and chunk
     partials are combined by `_finish` (fixed-width tree reduce + affine
     normalization) — results never round-trip through host bignums;
@@ -54,7 +54,7 @@ def tile() -> int:
         if env:
             _TILE = int(env)
         else:
-            _TILE = 4096 if jax.default_backend() == "tpu" else 64
+            _TILE = 16384 if jax.default_backend() == "tpu" else 64
     return _TILE
 
 
@@ -211,14 +211,6 @@ def sw_ops_for_curve(F, curve) -> "cdv.SWOps":
 
 
 @partial(jax.jit, static_argnums=(0,))
-def _windowed_partial_kernel(ops, digits, X, Y):
-    """(tile, nwin) digits + affine tile -> ONE projective partial sum."""
-    P = cdv.swp_from_affine(ops, X, Y)
-    per_point = cdv.swp_scalar_mul_windowed(ops, digits, P, WINDOW_BITS)
-    return cdv.swp_tree_reduce(ops, per_point)
-
-
-@partial(jax.jit, static_argnums=(0,))
 def _bool_partial_kernel(ops, mask, X, Y):
     """0/1-scalar tile -> ONE projective partial sum (masked tree reduce)."""
     P = cdv.swp_from_affine(ops, X, Y)
@@ -235,89 +227,100 @@ def _take_point(P, idx):
     return tuple(tk(c) for c in P)
 
 
-def _hs_prefix(ops, P, rows: int, axis_len: int):
-    """Hillis-Steele inclusive prefix over the LAST batch axis of a
-    (rows, axis_len) point grid: log2(axis_len) rounds, each ONE batched
-    complete add against a dynamically-shifted copy (shift amounts ride the
-    scan; the shifted-in head is the projective identity).  The traced body
-    holds exactly one point addition — jax.lax.associative_scan unrolled
-    ~2 log2(B) additions into the trace, and that single program's remote
-    compile (axon backend) took minutes / OOM-killed the compile helper.
+# -- coord helpers over a (W, L, ...) window-batched point grid --------------
+
+
+def _gather_rows_to_grid(c, order):
+    """Gather rows of a (B, ...) coord by a (W, B) index grid -> (W, B, ...)."""
+    if isinstance(c, tuple):
+        return tuple(_gather_rows_to_grid(ci, order) for ci in c)
+    W, B = order.shape
+    return jnp.take(c, order.reshape(-1), axis=0).reshape((W, B) + c.shape[1:])
+
+
+def _stride2_ax1(c, off: int):
+    if isinstance(c, tuple):
+        return tuple(_stride2_ax1(ci, off) for ci in c)
+    return c[:, off::2]
+
+
+def _drop_last_ax1(c):
+    if isinstance(c, tuple):
+        return tuple(_drop_last_ax1(ci) for ci in c)
+    return c[:, :-1]
+
+
+def _concat_ax1(a, b):
+    if isinstance(a, tuple):
+        return tuple(_concat_ax1(ai, bi) for ai, bi in zip(a, b))
+    return jnp.concatenate([a, b], axis=1)
+
+
+def _interleave_ax1(a, b):
+    """Pairwise interleave along axis 1: a -> even slots, b -> odd slots."""
+    if isinstance(a, tuple):
+        return tuple(_interleave_ax1(ai, bi) for ai, bi in zip(a, b))
+    W, L = a.shape[0], a.shape[1]
+    return jnp.stack([a, b], axis=2).reshape((W, 2 * L) + a.shape[2:])
+
+
+def _take_ax1(c, idx):
+    """Gather along axis 1: c (W, L, ...), idx (W, K) -> (W, K, ...)."""
+    if isinstance(c, tuple):
+        return tuple(_take_ax1(ci, idx) for ci in c)
+    idxe = idx.reshape(idx.shape + (1,) * (c.ndim - 2))
+    idxe = jnp.broadcast_to(idxe, idx.shape + c.shape[2:])
+    return jnp.take_along_axis(c, idxe, axis=1)
+
+
+def _blelloch_inclusive_ax1(ops, P, B: int):
+    """Work-efficient (Blelloch) inclusive prefix sums along axis 1.
+
+    P: projective points with coords shaped (W, B, ...).  ~2B element
+    additions total (vs B*log2(B)/2 for the Hillis-Steele scan this
+    replaced), in 2*log2(B) unrolled batched rounds:
+      up-sweep:  pair sums halve the width each round (B-1 adds total);
+      down-sweep: inclusive[2k+1] = incl_pairs[k] (free),
+                  inclusive[2k]   = incl_pairs[k-1] + even[k] (B-1 adds).
+    Identity padding is absorbed by the complete group law.
     """
-    ident = cdv.swp_identity(ops, (rows, axis_len))
-    shifts = jnp.asarray(
-        [1 << k for k in range((axis_len - 1).bit_length())], jnp.int32
-    )
-
-    def shift_down(c, icol, s):
-        if isinstance(c, tuple):
-            return tuple(shift_down(ci, ii, s) for ci, ii in zip(c, icol))
-        pad = jnp.concatenate([icol, c], axis=1)  # (rows, 2L, ...)
-        return jax.lax.dynamic_slice_in_dim(pad, axis_len - s, axis_len, axis=1)
-
-    def body(S, s):
-        Sh = tuple(shift_down(c, i, s) for c, i in zip(S, ident))
-        return cdv.swp_add(ops, S, Sh), None
-
-    S, _ = jax.lax.scan(body, P, shifts)
-    return S
-
-
-def _swp_inclusive_scan(ops, P, B: int):
-    """Inclusive prefix sums S_k = P_0 + ... + P_k over the leading axis.
-
-    Two-level decomposition: reshape (B,) -> (G, B/G) with G = sqrt(B);
-    intra-group Hillis-Steele prefix (log2(B/G) full-width rounds), then a
-    prefix over the G group totals, then one full-width combine add.  Total
-    element additions ~ (log2(B)/2 + 1) * B — about 1.7x fewer than a flat
-    Hillis-Steele — while the trace still holds ~3 point additions.
-    """
-    assert B & (B - 1) == 0, "tile must be a power of two"
-    logb = (B - 1).bit_length()
-    if B <= 64:
-        flat = tuple(_split_lead(c, 1, B) for c in P)
-        S = _hs_prefix(ops, flat, 1, B)
-        return tuple(_merge_lead(c, B) for c in S)
-    gl = logb // 2  # log2(group length)
-    L = 1 << gl  # group length
-    G = B >> gl  # number of groups
-    grid = tuple(_split_lead(c, G, L) for c in P)
-    intra = _hs_prefix(ops, grid, G, L)  # (G, L) intra-group prefixes
-    totals = tuple(_index_last(c) for c in intra)  # (G,) group totals
-    tot_grid = tuple(_split_lead(c, 1, G) for c in totals)
-    tot_prefix = _hs_prefix(ops, tot_grid, 1, G)  # inclusive over groups
-    # exclusive shift: group g gets sum of totals of groups < g
-    ident1 = cdv.swp_identity(ops, (1, 1))
-    excl = tuple(_shift_right_one(c, i) for c, i in zip(tot_prefix, ident1))
-    excl_col = tuple(_split_lead(c, G, 1) for c in excl)
-    S = cdv.swp_add(ops, intra, excl_col)  # broadcast add down each group
-    return tuple(_merge_lead(c, B) for c in S)
+    assert B & (B - 1) == 0
+    W = _leading(P[0])
+    evens = []
+    cur = P
+    L = B
+    while L > 1:
+        e = tuple(_stride2_ax1(c, 0) for c in cur)
+        o = tuple(_stride2_ax1(c, 1) for c in cur)
+        evens.append(e)
+        cur = cdv.swp_add(ops, e, o)  # (W, L/2) pair sums
+        L //= 2
+    incl = cur  # (W, 1): inclusive scan of the single total
+    ident1 = cdv.swp_identity(ops, (W, 1))
+    for e in reversed(evens):
+        shifted = tuple(
+            _concat_ax1(i, _drop_last_ax1(c)) for i, c in zip(ident1, incl)
+        )
+        ev_incl = cdv.swp_add(ops, shifted, e)
+        incl = _interleave_ax1(ev_incl, incl)
+    return incl  # (W, B) inclusive prefix sums
 
 
-def _split_lead(c, G: int, L: int):
-    """(G*L, ...) -> (G, L, ...), tuple-of-coords aware."""
+def _tree_reduce_ax1(ops, P, L: int):
+    """Sum (W, L, ...) points along axis 1 -> (W, ...) points."""
+    assert L & (L - 1) == 0
+    while L > 1:
+        e = tuple(_stride2_ax1(c, 0) for c in P)
+        o = tuple(_stride2_ax1(c, 1) for c in P)
+        P = cdv.swp_add(ops, e, o)
+        L //= 2
+    return tuple(_index_ax1_0(c) for c in P)
+
+
+def _index_ax1_0(c):
     if isinstance(c, tuple):
-        return tuple(_split_lead(ci, G, L) for ci in c)
-    return c.reshape((G, L) + c.shape[1:])
-
-
-def _merge_lead(c, B: int):
-    """(G, L, ...) -> (B, ...), tuple-of-coords aware."""
-    if isinstance(c, tuple):
-        return tuple(_merge_lead(ci, B) for ci in c)
-    return c.reshape((B,) + c.shape[2:])
-
-
-def _index_last(c):
-    if isinstance(c, tuple):
-        return tuple(_index_last(ci) for ci in c)
-    return c[:, -1]
-
-
-def _shift_right_one(c, ident):
-    if isinstance(c, tuple):
-        return tuple(_shift_right_one(ci, ii) for ci, ii in zip(c, ident))
-    return jnp.concatenate([ident, c[:, :-1]], axis=1)[0]
+        return tuple(_index_ax1_0(ci) for ci in c)
+    return c[:, 0]
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -326,57 +329,49 @@ def _pippenger_partial_kernel(ops, digits, X, Y):
     projective partial sum.
 
     TPU-native bucket accumulation without scatter (SURVEY.md section 7.3
-    item 3).  Per window w:
-      1. sort points by digit, descending (argsort + row gathers);
-      2. inclusive prefix sums S_k = P_1 + ... + P_k (_swp_inclusive_scan);
-      3. window sum = sum_i d_i P_i = sum_{v=1..2^c-1} S_{c_v} with
-         c_v = #\\{i : d_i >= v\\} — a searchsorted + one row gather + one
-         2^c-wide tree reduction, replacing per-bucket scatter entirely.
-    Windows join by Horner on a single running point (c doublings each).
-
-    All inner loops are lax.scan / fori_loop with single-addition bodies, so
-    the whole kernel traces to a few point operations regardless of tile
-    size or scalar width (remote-compile latency is the binding constraint
-    on this backend; see _swp_inclusive_scan).
+    item 3), with ALL windows processed as one batched (W, B) grid — every
+    round is a wide VPU/MXU op instead of a per-window sequential pass:
+      1. per-window descending argsort of the digits (one batched sort) and
+         point row-gathers onto the (W, B) grid;
+      2. batched Blelloch inclusive prefix sums S (2B adds per window);
+      3. window sum = sum_i d_i P_i = sum_{v=1..2^c} S_{c_v} with
+         c_v = #\\{i : d_i >= v\\} — batched searchsorted + one axis-1
+         gather + one 2^c-wide tree reduction (no scatter anywhere);
+      4. windows join by Horner on a single running point (c doublings
+         each, MSW first).
     """
     F = ops.F
     B = _leading(X)
-    P = cdv.swp_from_affine(ops, X, Y)
-    digs = jnp.moveaxis(digits, -1, 0)  # (nwin, B) MSW first
     nbuckets = 1 << PIPPENGER_C
-    thresholds = jnp.arange(1, nbuckets + 1, dtype=jnp.uint32)  # v = 1..2^c
-    ident1 = cdv.swp_identity(ops, (1,))
+    digs = jnp.moveaxis(digits, -1, 0).astype(jnp.int32)  # (W, B) MSW first
+    W = digs.shape[0]
 
-    def window_sum(dig):
-        order = jnp.argsort(-dig.astype(jnp.int32))
-        d_s = jnp.take(dig, order)  # descending
-        Ps = _take_point(P, order)
-        S = _swp_inclusive_scan(ops, Ps, B)
-        # S_ext[k] = P_1 + ... + P_k, with S_ext[0] = identity
-        S_ext = tuple(_concat_lead(i, s) for i, s in zip(ident1, S))
-        d_asc = d_s[::-1]
-        # c_v = #{i: d_i >= v} = B - first index with d_asc >= v
-        c_v = (B - jnp.searchsorted(d_asc, thresholds, side="left")).astype(
-            jnp.int32
-        )
-        T = _take_point(S_ext, c_v)  # (2^c,) threshold prefix sums
-        return cdv.swp_tree_reduce(ops, T)
+    order = jnp.argsort(-digs, axis=-1)  # descending per window
+    d_s = jnp.take_along_axis(digs, order, axis=-1)
+    Xg = _gather_rows_to_grid(X, order)
+    Yg = _gather_rows_to_grid(Y, order)
+    P = (Xg, Yg, F.ones((W, B)))
 
-    def body(acc, dig):
-        acc = jax.lax.fori_loop(
-            0, PIPPENGER_C, lambda _, a: cdv.swp_double(ops, a), acc
-        )
-        W = window_sum(dig)
-        return cdv.swp_add(ops, acc, W), None
+    S = _blelloch_inclusive_ax1(ops, P, B)
+    ident1 = cdv.swp_identity(ops, (W, 1))
+    S_ext = tuple(_concat_ax1(i, s) for i, s in zip(ident1, S))  # (W, B+1)
 
-    acc, _ = jax.lax.scan(body, cdv.swp_identity(ops, ()), digs)
+    d_asc = d_s[:, ::-1]
+    thresholds = jnp.arange(1, nbuckets + 1, dtype=jnp.int32)
+    # c_v = #{i: d_i >= v} = B - first ascending index with d >= v
+    c_v = B - jax.vmap(
+        lambda row: jnp.searchsorted(row, thresholds, side="left")
+    )(d_asc)
+    T = tuple(_take_ax1(c, c_v) for c in S_ext)  # (W, 2^c)
+    Wsums = _tree_reduce_ax1(ops, T, nbuckets)  # (W,) points
+
+    def body(acc, wsum):
+        for _ in range(PIPPENGER_C):
+            acc = cdv.swp_double(ops, acc)
+        return cdv.swp_add(ops, acc, wsum), None
+
+    acc, _ = jax.lax.scan(body, cdv.swp_identity(ops, ()), Wsums)
     return acc
-
-
-def _concat_lead(head, tail):
-    if isinstance(head, tuple):
-        return tuple(_concat_lead(h, t) for h, t in zip(head, tail))
-    return jnp.concatenate([head, tail], axis=0)
 
 
 @partial(jax.jit, static_argnums=(0,))

@@ -65,11 +65,15 @@ def _jobs_groth16(curve: str, domain_size: int, hash_caps: tuple[int, ...]):
     Fte = dv.FpOps(te_spec)
     for cap in hash_caps:
         def hash_job(cap=cap):
+            ws = 4
+            nw = cap // ws
             a = jnp.zeros((te_spec.n,), jnp.uint32)
             d = jnp.zeros((te_spec.n,), jnp.uint32)
-            tx = jnp.zeros((cap, te_spec.n), jnp.uint32)
+            tg = jnp.zeros((nw, 1 << ws, te_spec.n), jnp.uint32)
             bits = jnp.zeros((HT, cap), jnp.uint32)
-            jax.block_until_ready(ph._hash_kernel(Fte, a, d, tx, tx, bits))
+            jax.block_until_ready(
+                ph._hash_kernel(Fte, ws, a, d, tg, tg, tg, bits)
+            )
 
         jobs.append((f"hash{cap}", hash_job))
 
