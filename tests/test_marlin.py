@@ -66,3 +66,28 @@ def test_marlin_universal_reuse():
     cs2, out2 = toy_circuit(11)  # same circuit shape, new assignment
     proof = marlin.prove(ipk, cs2, rng=rng)
     assert marlin.verify(ivk, [out2], proof)
+
+
+def test_marlin_bw6_smoke():
+    """BW6-761 toy e2e — regression for the absorb_int field-width crash
+    (377-bit Fr public inputs overflowed the hardcoded 32-byte absorb)."""
+    from zkmember_tpu.curves import bw6_761 as bw6
+
+    rng = frng.test_rng()
+    cs = ConstraintSystem(bw6.Fr)
+    r = bw6.R
+    # force a public input wider than 256 bits to exercise the width fix
+    big = (1 << 300) + 12345
+    out_val = big * big % r
+    out = g.FpVar.new_input(cs, out_val)
+    w = g.FpVar.new_witness(cs, big)
+    sq = w * w
+    sq.enforce_equal(out, "sq")
+    assert cs.is_satisfied()
+    pp = marlin.universal_setup(
+        cs.num_constraints, cs.num_variables, 16, curve="bw6_761", rng=rng
+    )
+    ipk, ivk = marlin.index(pp, cs)
+    proof = marlin.prove(ipk, cs, rng=rng)
+    assert marlin.verify(ivk, [out_val], proof)
+    assert not marlin.verify(ivk, [(out_val + 1) % r], proof)

@@ -47,3 +47,47 @@ def test_field_roundtrip():
         assert ser.field_from_bytes(ser.field_to_bytes(v, p), p) == v
     with pytest.raises(ValueError):
         ser.field_from_bytes(ser.field_to_bytes(bls.R - 1, bls.R)[:-1] + b"\xff", bls.R)
+
+
+# --------------------------------------------------------------------------
+# known-answer tests: published zcash/IETF compressed generator encodings
+# (the only offline-verifiable vectors; the ark-0.3 format differs from
+# these exactly by LE<->BE, flag placement, and the 0x80 compression bit)
+# --------------------------------------------------------------------------
+
+G1_GEN_ZCASH = bytes.fromhex(
+    "97f1d3a73197d7942695638c4fa9ac0fc3688c4f9774b905a14e3a3f171bac58"
+    "6c55e83ff97a1aeffb3af00adb22c6bb"
+)
+G2_GEN_ZCASH = bytes.fromhex(
+    "93e02b6052719f607dacd3a088274f65596bd0d09920b61ab5da61bbdc7f5049"
+    "334cf11213945d57e5ac7d055d042b7e"
+    "024aa2b2f08f0a91260805272dc51051c6e47ad4fa403b02b4510b647ae3d177"
+    "0bac0326a805bbefd48056c8c121bdb8"
+)
+
+
+def test_zcash_kat_g1_generator():
+    assert ser.bls_point_to_bytes_zcash(bls.G1, bls.G1_GEN) == G1_GEN_ZCASH
+
+
+def test_zcash_kat_g2_generator():
+    assert ser.bls_point_to_bytes_zcash(bls.G2, bls.G2_GEN) == G2_GEN_ZCASH
+
+
+def test_zcash_kat_infinity():
+    b = ser.bls_point_to_bytes_zcash(bls.G1, None)
+    assert b[0] == 0xC0 and all(v == 0 for v in b[1:])
+
+
+def test_ark_vs_zcash_relation_g1():
+    """The ark-0.3 bytes of the generator are the zcash bytes reversed with
+    the flag bits translated (documents the exact format difference)."""
+    ark = ser.sw_point_to_bytes(bls.G1, bls.G1_GEN)
+    zc = ser.bls_point_to_bytes_zcash(bls.G1, bls.G1_GEN)
+    # strip flags from both, compare raw x bytes
+    ark_x = bytearray(ark); ark_x[-1] &= 0x3F
+    zc_x = bytearray(zc); zc_x[0] &= 0x1F
+    assert bytes(ark_x) == bytes(zc_x[::-1])
+    # sign flags agree: zcash 0x20 (larger y) == ark 0x80 (negative y)
+    assert bool(zc[0] & 0x20) == bool(ark[-1] & 0x80)

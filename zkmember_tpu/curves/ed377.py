@@ -6,15 +6,13 @@ Fills the role of `ark-ed-on-bw6-761` in the reference's pedersen761 stack
 for the BW6-761 configuration hashes on an Edwards curve whose base field is
 BW6-761's Fr, so the hash gadget is native to BW6-761 circuits.
 
-Parameter note: arkworks' exact `d` constant is not reproducible offline, so
-this curve uses the *deterministic minimal* complete twisted Edwards curve
-over the same field: a = -1 (a square, since q = 1 mod 4) and d = the
-smallest non-square >= 2.  Completeness of the addition law and therefore all
-hashing/gadget semantics are identical; only the group constant differs.
-Pedersen hashing never uses the curve's scalar field or group order — it only
-adds and doubles points — so an unknown cofactor does not affect any
-functional path.  Generator sampling clears a factor of 8 to drop small
-torsion, mirroring the Jubjub convention.
+Parameters follow `ark-ed-on-bw6-761` (a re-export of ark-ed-on-cp6-782):
+a = -1, d = 79743, cofactor 8 — so points/digests are parameter-compatible
+with the reference stack (pedersen761/common.rs:17).  d is verified
+non-square over this field at import (completeness of the unified law).
+The generator is derived by lifting the smallest valid y and clearing the
+cofactor (the reference's Pedersen tables are RNG-sampled multiples of a
+random point, so the distinguished generator never enters any hash).
 """
 
 from __future__ import annotations
@@ -27,16 +25,9 @@ Fq = Fr
 
 assert P % 4 == 1  # -1 is a square -> a = -1 keeps the law complete
 
-
-def _smallest_nonsquare() -> int:
-    d = 2
-    while pow(d, (P - 1) // 2, P) == 1:
-        d += 1
-    return d
-
-
 A = Fq(-1)
-D = Fq(_smallest_nonsquare())
+D = Fq(79743)  # ark-ed-on-cp6-782 COEFF_D
+assert pow(D.v, (P - 1) // 2, P) != 1, "d must be non-square (complete law)"
 COFACTOR = 8  # torsion-clearing factor used when sampling points
 
 CURVE = TECurve(Fq, A, D, cofactor=COFACTOR, name="Ed377")

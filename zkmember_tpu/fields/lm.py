@@ -1,0 +1,423 @@
+"""Limb-major device field arithmetic: the prover's hot-path core (v2).
+
+Replaces fields.device's batch-major layout for all prove-time kernels.
+The round-3 profile showed the batch-major convention ((..., n) trailing
+limb axis) paying a 5-8x lane-padding tax on every op: XLA tiles the MINOR
+axis onto the 128 VPU lanes, so a 16/24/48-limb trailing axis wastes
+112/104/80 lanes of every vector issue (the driver bench's own memory dump
+reported "5.1x expansion" on the Pippenger temporaries).  Measured impact:
+BLS12-381 Fq mont_mul ran at 2.4M muls/s batch-major vs 24M muls/s
+limb-major on v5e — a 10x single-change win.
+
+Convention here: a batch of field elements is a uint32 array of shape
+(..., n, B) — limb axis SECOND-TO-LAST (sublanes, zero padding waste for
+n % 8 == 0), batch axis LAST (lanes, arbitrarily large, perfectly tiled).
+Leading axes are free structure (MSM windows, table entries, coordinates).
+
+Montgomery pipeline (same separated-operands construction as
+fields.device.mont_mul, reference capability ark-ff — SURVEY.md section
+2.2 row 1):  T = a*b;  m = T_lo * N' mod R;  t = (T + m*N) / R;  all three
+schoolbook passes accumulate 16x16->32-bit exact limb products into
+column buffers via static slice-adds, and carry propagation runs along the
+sublane (limb) axis with log-depth Kogge-Stone scans.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from zkmember_tpu.fields.device import (
+    LIMB_BITS,
+    LIMB_MASK,
+    FieldSpec,
+    Fp2Spec,
+)
+
+
+# ---------------------------------------------------------------------------
+# host <-> limb-major conversion
+# ---------------------------------------------------------------------------
+
+
+def to_lm(batch_major: np.ndarray | jnp.ndarray):
+    """(..., B, n) batch-major limbs -> (..., n, B) limb-major."""
+    return jnp.swapaxes(jnp.asarray(batch_major), -1, -2)
+
+
+def from_lm(limb_major) -> np.ndarray:
+    """(..., n, B) limb-major -> host (..., B, n) batch-major numpy."""
+    return np.swapaxes(np.asarray(limb_major), -1, -2)
+
+
+def const_col(spec: FieldSpec, v: int):
+    """Single Montgomery-form constant as an (n, 1) column (broadcasts)."""
+    return jnp.asarray(spec.mont_scalar(v).reshape(-1, 1))
+
+
+# ---------------------------------------------------------------------------
+# carry propagation along the limb axis (axis -2)
+# ---------------------------------------------------------------------------
+
+
+def _ks_op(a, b):
+    ga, pa = a
+    gb, pb = b
+    return (gb | (pb & ga), pb & pa)
+
+
+def _shift_down(x, fill=0):
+    """x[..., i, :] -> x[..., i-1 -> i, :] with `fill` in row 0."""
+    pad = [(0, 0)] * (x.ndim - 2) + [(1, 0), (0, 0)]
+    return jnp.pad(x[..., :-1, :], pad, constant_values=fill)
+
+
+def ks_add_digits(s, want_carry_out: bool = False):
+    """Exact carry propagation of digit sums s < 2^17 into 16-bit limbs.
+
+    Kogge-Stone over generate/propagate along axis -2 (log depth)."""
+    G = s > LIMB_MASK
+    P = s == LIMB_MASK
+    Gc, _ = lax.associative_scan(_ks_op, (G, P), axis=-2)
+    cin = _shift_down(Gc)
+    out = (s + cin.astype(jnp.uint32)) & LIMB_MASK
+    if want_carry_out:
+        return out, Gc[..., -1, :].astype(jnp.uint32)
+    return out
+
+
+def carry(cols, out_len: int):
+    """Columns (< 2^23) along axis -2 -> out_len normalized 16-bit limbs.
+
+    Carries beyond out_len are dropped (mod 2^(16*out_len)); callers size
+    out_len for exactness where required."""
+    L = cols.shape[-2]
+    pads = [(0, 0)] * (cols.ndim - 2)
+    if L < out_len:
+        cols = jnp.pad(cols, pads + [(0, out_len - L), (0, 0)])
+    else:
+        cols = cols[..., :out_len, :]
+    p = cols & LIMB_MASK
+    g = cols >> LIMB_BITS  # < 2^7 for column sums < 2^23
+    return ks_add_digits(p + _shift_down(g))
+
+
+def sub_limbs(a, b):
+    """(a - b) limbwise: (diff mod 2^(16n), borrow).  borrow=1 iff a < b."""
+    comp = jnp.uint32(LIMB_MASK) - b
+    s = a + comp
+    one0 = jnp.zeros(s.shape[-2:], jnp.uint32).at[0, :].set(1)
+    s = s + one0
+    limbs, carry_out = ks_add_digits(s, want_carry_out=True)
+    return limbs, (1 - carry_out).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# schoolbook products
+# ---------------------------------------------------------------------------
+
+
+def _full_mul_cols(a, b, n: int, out_len: int):
+    """Schoolbook column sums of a*b over (..., n, B) 16-bit limb planes.
+
+    Returns (..., out_len, B) u32 columns (NOT carried; each < 2n * 2^16).
+    n static passes: pass i multiplies limb a_i against all of b (one
+    B-wide u32 multiply, exact) and slice-accumulates the lo/hi halves into
+    columns i..i+n — all full-lane VPU work, no gathers, no matmuls.
+    """
+    B = a.shape[-1]
+    batch = a.shape[:-2]
+    acc = jnp.zeros(batch + (out_len + 1, B), jnp.uint32)
+    for i in range(n):
+        hl = min(n, out_len - i)
+        if hl <= 0:
+            break
+        p = a[..., i : i + 1, :] * b[..., :hl, :]  # (..., hl, B) exact u32
+        lo = p & LIMB_MASK
+        hi = p >> LIMB_BITS
+        acc = acc.at[..., i : i + hl, :].add(lo)
+        acc = acc.at[..., i + 1 : i + 1 + hl, :].add(hi)
+    return acc[..., :out_len, :]
+
+
+def _const_mul_cols(a, c_limbs: np.ndarray, n: int, out_len: int):
+    """Column sums of a * c for a constant c (numpy 16-bit limbs)."""
+    B = a.shape[-1]
+    batch = a.shape[:-2]
+    acc = jnp.zeros(batch + (out_len + 1, B), jnp.uint32)
+    nc = len(c_limbs)
+    for i in range(n):
+        hl = min(nc, out_len - i)
+        if hl <= 0:
+            break
+        cl = jnp.asarray(c_limbs[:hl].reshape(-1, 1))
+        p = cl * a[..., i : i + 1, :]
+        acc = acc.at[..., i : i + hl, :].add(p & LIMB_MASK)
+        acc = acc.at[..., i + 1 : i + 1 + hl, :].add(p >> LIMB_BITS)
+    return acc[..., :out_len, :]
+
+
+# ---------------------------------------------------------------------------
+# field ops (Montgomery form, limbs normalized < 2^16, values < p)
+# ---------------------------------------------------------------------------
+
+
+def _cond_sub_p(spec: FieldSpec, t, extra):
+    """Reduce t + extra*2^(16n) < 2p into [0, p)."""
+    P = jnp.asarray(spec.p_limbs.reshape(-1, 1))
+    diff, borrow = sub_limbs(t, jnp.broadcast_to(P, t.shape))
+    ge = (borrow == 0) | (extra > 0)
+    return jnp.where(ge[..., None, :], diff, t)
+
+
+def mont_mul(spec: FieldSpec, a, b):
+    """Montgomery product a*b*R^-1 mod p over (..., n, B) limb planes."""
+    n = spec.n
+    T = carry(_full_mul_cols(a, b, n, 2 * n), 2 * n)
+    m = carry(_const_mul_cols(T[..., :n, :], spec.nprime_limbs, n, n), n)
+    U = _const_mul_cols(m, spec.p_limbs, n, 2 * n)
+    S = carry(T + U, 2 * n + 1)  # low n limbs exactly zero
+    t = S[..., n : 2 * n, :]
+    extra = S[..., 2 * n, :]
+    return _cond_sub_p(spec, t, extra)
+
+
+def add(spec: FieldSpec, a, b):
+    s = carry(a + b, spec.n + 1)
+    return _cond_sub_p(spec, s[..., : spec.n, :], s[..., spec.n, :])
+
+
+def sub(spec: FieldSpec, a, b):
+    d, borrow = sub_limbs(a, b)
+    dp = carry(d + jnp.asarray(spec.p_limbs.reshape(-1, 1)), spec.n)
+    return jnp.where((borrow == 1)[..., None, :], dp, d)
+
+
+def neg(spec: FieldSpec, a):
+    return sub(spec, jnp.zeros_like(a), a)
+
+
+def zeros(spec: FieldSpec, shape=()):
+    """shape = batch shape (..., B); limb axis inserted before the last."""
+    return jnp.zeros(tuple(shape[:-1]) + (spec.n,) + tuple(shape[-1:]), jnp.uint32)
+
+
+def ones(spec: FieldSpec, shape=()):
+    one = jnp.asarray(spec.one_mont.reshape(-1, 1))
+    return jnp.broadcast_to(
+        one, tuple(shape[:-1]) + (spec.n,) + tuple(shape[-1:])
+    )
+
+
+def is_zero(spec: FieldSpec, a):
+    return jnp.all(a == 0, axis=-2)
+
+
+def select(mask, a, b):
+    """mask: batch-shaped (..., B) bool -> elementwise select."""
+    return jnp.where(mask[..., None, :], a, b)
+
+
+def mont_pow_static(spec: FieldSpec, a, exp_bits: np.ndarray):
+    """a^e, static MSB-first exponent bits, via lax.scan (Fermat inverse)."""
+    bits = jnp.asarray(exp_bits.astype(np.uint32))
+    acc0 = jnp.broadcast_to(jnp.asarray(spec.one_mont.reshape(-1, 1)), a.shape)
+
+    def body(acc, bit):
+        acc = mont_mul(spec, acc, acc)
+        withmul = mont_mul(spec, acc, a)
+        acc = jnp.where(jnp.bool_(bit), withmul, acc)
+        return acc, None
+
+    acc, _ = lax.scan(body, acc0, bits)
+    return acc
+
+
+def inv(spec: FieldSpec, a):
+    """Batched inverse via Fermat; inv(0) = 0."""
+    return mont_pow_static(spec, a, spec.inv_exp_bits)
+
+
+def from_mont(spec: FieldSpec, a):
+    one = jnp.zeros_like(a).at[..., 0, :].set(1)
+    return mont_mul(spec, a, one)
+
+
+def to_mont(spec: FieldSpec, a):
+    r2 = jnp.asarray(spec.r2_limbs.reshape(-1, 1))
+    return mont_mul(spec, a, jnp.broadcast_to(r2, a.shape))
+
+
+# ---------------------------------------------------------------------------
+# vtables (generic curve code dispatches through these)
+# ---------------------------------------------------------------------------
+
+
+class FpOpsLM:
+    """Limb-major field-op vtable; elements are (..., n, B) u32 planes.
+
+    Batch shape (for masks/identities) is element.shape with the limb axis
+    removed: (..., B).  Hash/eq by spec for stable jit keying."""
+
+    def __init__(self, spec: FieldSpec):
+        self.spec = spec
+
+    def __hash__(self):
+        return hash(("FpOpsLM", self.spec))
+
+    def __eq__(self, other):
+        return isinstance(other, FpOpsLM) and self.spec == other.spec
+
+    def mul(self, a, b):
+        return mont_mul(self.spec, a, b)
+
+    def mul_many(self, pairs):
+        """k independent products as ONE stacked mul on a new leading axis."""
+        if len(pairs) == 1:
+            return [self.mul(*pairs[0])]
+        shape = jnp.broadcast_shapes(*(x.shape for p in pairs for x in p))
+        A = jnp.stack([jnp.broadcast_to(a, shape) for a, _ in pairs])
+        B = jnp.stack([jnp.broadcast_to(b, shape) for _, b in pairs])
+        out = mont_mul(self.spec, A, B)
+        return [out[i] for i in range(len(pairs))]
+
+    def sqr(self, a):
+        return mont_mul(self.spec, a, a)
+
+    def add(self, a, b):
+        return add(self.spec, a, b)
+
+    def sub(self, a, b):
+        return sub(self.spec, a, b)
+
+    def neg(self, a):
+        return neg(self.spec, a)
+
+    def double(self, a):
+        return add(self.spec, a, a)
+
+    def zeros(self, shape=()):
+        return zeros(self.spec, shape)
+
+    def ones(self, shape=()):
+        return ones(self.spec, shape)
+
+    def is_zero(self, a):
+        return is_zero(self.spec, a)
+
+    def eq(self, a, b):
+        return jnp.all(a == b, axis=-2)
+
+    def select(self, mask, a, b):
+        return select(mask, a, b)
+
+    def inv(self, a):
+        return inv(self.spec, a)
+
+    def batch_shape(self, a):
+        return a.shape[:-2] + a.shape[-1:]
+
+    def const(self, v: int):
+        return const_col(self.spec, v)
+
+
+def _mul_nr(spec: Fp2Spec, v):
+    if spec.nonresidue == spec.base.p - 1:
+        return neg(spec.base, v)
+    nr = jnp.asarray(spec.base.mont_scalar(spec.nonresidue).reshape(-1, 1))
+    return mont_mul(spec.base, v, jnp.broadcast_to(nr, v.shape))
+
+
+class Fp2OpsLM:
+    """Limb-major Fp2 vtable: elements are (c0, c1) pairs of Fp planes."""
+
+    def __init__(self, spec: Fp2Spec):
+        self.spec = spec
+        self.base = FpOpsLM(spec.base)
+
+    def __hash__(self):
+        return hash(("Fp2OpsLM", self.spec))
+
+    def __eq__(self, other):
+        return isinstance(other, Fp2OpsLM) and self.spec == other.spec
+
+    def mul(self, a, b):
+        return self.mul_many([(a, b)])[0]
+
+    def mul_many(self, pairs):
+        """Karatsuba, fully stacked: ONE base mul of 3k rows."""
+        base = self.spec.base
+        k = len(pairs)
+        shape = jnp.broadcast_shapes(
+            *(c.shape for a, b in pairs for pair in (a, b) for c in pair)
+        )
+
+        def stk(items):
+            return jnp.stack([jnp.broadcast_to(c, shape) for c in items])
+
+        A0 = stk([a[0] for a, _ in pairs])
+        A1 = stk([a[1] for a, _ in pairs])
+        B0 = stk([b[0] for _, b in pairs])
+        B1 = stk([b[1] for _, b in pairs])
+        SA = add(base, A0, A1)
+        SB = add(base, B0, B1)
+        big_a = jnp.concatenate([A0, A1, SA])
+        big_b = jnp.concatenate([B0, B1, SB])
+        prods = mont_mul(base, big_a, big_b)
+        v0 = prods[:k]
+        v1 = prods[k : 2 * k]
+        t = prods[2 * k :]
+        c0 = add(base, v0, _mul_nr(self.spec, v1))
+        c1 = sub(base, sub(base, t, v0), v1)
+        return [(c0[i], c1[i]) for i in range(k)]
+
+    def sqr(self, a):
+        base = self.spec.base
+        a0, a1 = a
+        v = mont_mul(base, a0, a1)
+        if self.spec.nonresidue == base.p - 1:
+            c0 = mont_mul(base, add(base, a0, a1), sub(base, a0, a1))
+        else:
+            t = mont_mul(base, add(base, a0, a1), add(base, a0, _mul_nr(self.spec, a1)))
+            c0 = sub(base, sub(base, t, v), _mul_nr(self.spec, v))
+        return (c0, add(base, v, v))
+
+    def add(self, a, b):
+        base = self.spec.base
+        return (add(base, a[0], b[0]), add(base, a[1], b[1]))
+
+    def sub(self, a, b):
+        base = self.spec.base
+        return (sub(base, a[0], b[0]), sub(base, a[1], b[1]))
+
+    def neg(self, a):
+        return (self.base.neg(a[0]), self.base.neg(a[1]))
+
+    def double(self, a):
+        return self.add(a, a)
+
+    def zeros(self, shape=()):
+        return (zeros(self.spec.base, shape), zeros(self.spec.base, shape))
+
+    def ones(self, shape=()):
+        return (ones(self.spec.base, shape), zeros(self.spec.base, shape))
+
+    def is_zero(self, a):
+        return jnp.logical_and(self.base.is_zero(a[0]), self.base.is_zero(a[1]))
+
+    def eq(self, a, b):
+        return jnp.logical_and(self.base.eq(a[0], b[0]), self.base.eq(a[1], b[1]))
+
+    def select(self, mask, a, b):
+        return (select(mask, a[0], b[0]), select(mask, a[1], b[1]))
+
+    def inv(self, a):
+        base = self.base
+        norm = base.sub(base.sqr(a[0]), _mul_nr(self.spec, base.sqr(a[1])))
+        ninv = base.inv(norm)
+        return (base.mul(a[0], ninv), base.neg(base.mul(a[1], ninv)))
+
+    def batch_shape(self, a):
+        return a[0].shape[:-2] + a[0].shape[-1:]

@@ -45,7 +45,13 @@ class MerkleTree:
     leaves: list of byte strings (the app passes member digest bytes).
     """
 
-    def __init__(self, leaf_params: ph.PedersenParams, node_params: ph.PedersenParams, leaves):
+    def __init__(
+        self,
+        leaf_params: ph.PedersenParams,
+        node_params: ph.PedersenParams,
+        leaves,
+        backend: str = "auto",
+    ):
         assert len(leaves) >= 2 and (len(leaves) & (len(leaves) - 1)) == 0, (
             "leaf count must be a power of two >= 2 (pad first — see "
             "app.membership.clean_membership_list)"
@@ -54,6 +60,26 @@ class MerkleTree:
         self.node_params = node_params
         self.spec = node_params.spec
         cap = leaf_params.window.capacity_bits
+        if backend == "auto":
+            # small trees are pure dispatch/compile latency on device; the
+            # host bignum hash builds a 16-member tree in < 1 s
+            backend = "host" if len(leaves) <= 64 else "device"
+
+        if backend == "host":
+            nbytes = self.spec.n * dv.LIMB_BITS // 8
+            cur = [ph.hash_bytes_host(leaf_params, b).v for b in leaves]
+            self.levels = [dv.ints_to_limbs(cur, self.spec.n)]
+            while len(cur) > 1:
+                cur = [
+                    ph.two_to_one_host(
+                        node_params,
+                        int(cur[i]).to_bytes(nbytes, "little"),
+                        int(cur[i + 1]).to_bytes(nbytes, "little"),
+                    ).v
+                    for i in range(0, len(cur), 2)
+                ]
+                self.levels.append(dv.ints_to_limbs(cur, self.spec.n))
+            return
 
         # level 0: hash leaf bytes (batched, tiled: one compiled program per
         # params regardless of level width)

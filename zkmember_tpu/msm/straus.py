@@ -1,0 +1,270 @@
+"""Gather-free variable-base MSM on limb-major point planes (v2 prover core).
+
+TPU-native replacement for ark-ec's Pippenger MSM (SURVEY.md section 2.2
+row 2), superseding msm.msm's sort+prefix-scan kernel for the prove path.
+
+Why not sort-based Pippenger here: the round-3 profile showed the argsort +
+row-gather + Blelloch machinery dominating both compile time (unrolled
+O(log^2 B) grid rounds) and runtime (gathers across the batch axis defeat
+the TPU's lane tiling).  This formulation has the same O(B * lambda/c) add
+count but NO data-dependent memory movement at all:
+
+    sum_i s_i P_i  =  sum_w 16^w ( sum_i T_i[d_{i,w}] )
+
+with T_i the per-point small-multiple table [0..15]P_i (Straus), d_{i,w}
+the w-th 4-bit digit of s_i.  Per window: a 16-way one-hot select (pure
+lane-local mask-adds) + one lane-axis tree reduction.  Cost at B points:
+14B (table) + W*B (window reductions) complete adds, W = ceil(bits/4).
+
+Boolean scalars (the dominant class in Pedersen-circuit witnesses — most
+witness variables are bit decompositions) skip the window machinery: one
+masked select + a single tree reduction (B adds total).  The bool/general
+split is STATIC per circuit (gadget structure), so the proving key carries
+a class bitmap and no per-proof classification or compaction is needed.
+
+All kernels take runtime-input planes (points, digits, masks), so ONE
+compiled program per (curve, B, W) shape serves every query of a proof.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from zkmember_tpu.fields import lm
+from zkmember_tpu.curves import device as cdv
+
+
+WINDOW_BITS = 4
+TABLE = 1 << WINDOW_BITS
+
+
+# ---------------------------------------------------------------------------
+# limb-major coordinate helpers (coords may be arrays or Fp2 tuples)
+# ---------------------------------------------------------------------------
+
+
+def _map_coord(f, c):
+    if isinstance(c, tuple):
+        return tuple(_map_coord(f, ci) for ci in c)
+    return f(c)
+
+
+def _lanes(c):
+    while isinstance(c, tuple):
+        c = c[0]
+    return c.shape[-1]
+
+
+def _half_split(P):
+    """Split a point's lane axis in half: (left, right)."""
+    B = _lanes(P[0])
+    h = B // 2
+    left = tuple(_map_coord(lambda c: c[..., :h], x) for x in P)
+    right = tuple(_map_coord(lambda c: c[..., h:], x) for x in P)
+    return left, right
+
+
+TAIL_WIDTH = 256  # fixed-width scan takes over below this lane count
+
+
+def tree_reduce_lanes(ops, P, keep: int = 1):
+    """Sum projective points along the lane axis down to `keep` lanes.
+
+    Two phases, balancing trace size against add count (the fully-unrolled
+    log2(B) halving blew up XLA compile time inside the window scan; the
+    fully fixed-width scan wastes (log2 B)/2 x the adds — VERDICT round-3
+    weak #6):
+      1. contiguous half-splits, UNROLLED, while width > TAIL_WIDTH
+         (full-lane slices, B - TAIL adds, ~log2(B/TAIL) traced adds);
+      2. one SCANNED fixed-width even/odd round for the remaining
+         log2(TAIL) rounds (1 traced add, TAIL/2 * log2(TAIL) adds).
+    Total adds ~ B + TAIL/2*log2(TAIL) — within ~10% of optimal at the
+    prover's tile sizes."""
+    B = _lanes(P[0])
+    assert B % keep == 0 and (B // keep) & (B // keep - 1) == 0
+    tail = min(TAIL_WIDTH, B // keep) * keep
+    while B > tail:
+        left, right = _half_split(P)
+        P = cdv.swp_add(ops, left, right)
+        B //= 2
+    if B == keep:
+        return P
+    # fixed-width even/odd rounds: live values interleave to the even lanes,
+    # identity refills the tail (absorbed by the complete law)
+    F = ops.F
+    rounds = (B // keep).bit_length() - 1
+    half_ident = cdv.swp_identity(ops, F.batch_shape(P[0])[:-1] + (B // 2,))
+
+    def body(cur, _):
+        even = tuple(_map_coord(lambda c: c[..., 0::2], x) for x in cur)
+        odd = tuple(_map_coord(lambda c: c[..., 1::2], x) for x in cur)
+        s = cdv.swp_add(ops, even, odd)
+        cur = tuple(
+            _map_coord2(lambda a, b: jnp.concatenate([a, b], axis=-1), x, hi)
+            for x, hi in zip(s, half_ident)
+        )
+        return cur, None
+
+    P, _ = lax.scan(body, P, None, length=rounds)
+    return tuple(_map_coord(lambda c: c[..., :keep], x) for x in P)
+
+
+def _map_coord2(f, a, b):
+    if isinstance(a, tuple):
+        return tuple(_map_coord2(f, ai, bi) for ai, bi in zip(a, b))
+    return f(a, b)
+
+
+def onehot_select(tab, digits):
+    """tab: coord planes with leading table axis (16, ..., n, B); digits:
+    (..., B) u32 in [0,16) -> selected (..., n, B) coords.
+
+    Pure lane-local mask-accumulate: sum_d (digits == d) * tab[d]."""
+
+    def one(c):
+        if isinstance(c, tuple):
+            return tuple(one(ci) for ci in c)
+        acc = jnp.zeros(c.shape[1:], c.dtype)
+        for d in range(c.shape[0]):
+            m = (digits == d)[..., None, :]
+            acc = acc + jnp.where(m, c[d], 0)
+        return acc
+
+    return tuple(one(c) for c in tab)
+
+
+def small_table(ops, P1):
+    """Per-point multiples [0..15]P as stacked coords (16, ..., n, B).
+
+    A 16-step scan whose body is ONE complete add; entry 0 is the
+    projective identity (absorbed by the complete law on digit 0)."""
+    F = ops.F
+    ident = cdv.swp_identity(ops, F.batch_shape(P1[0]))
+
+    def step(prev, _):
+        return cdv.swp_add(ops, prev, P1), prev
+
+    _, tab = lax.scan(step, ident, None, length=TABLE)
+    return tab  # tuple of 3 coords, each (16, ..., n, B)
+
+
+def _take_row(tab, i):
+    return tuple(_map_coord(lambda c: c[i], x) for x in tab)
+
+
+def digits_from_limbs(z, nwin: int):
+    """Canonical 16-bit limb planes (..., n, B) -> (nwin, ..., B) 4-bit
+    window digits, MOST-significant window first (device-side; avoids
+    shipping W*B digit planes over the host link)."""
+    outs = []
+    for w in range(nwin):  # w = weight of 16^w
+        limb = z[..., w // 4, :]
+        outs.append((limb >> (WINDOW_BITS * (w % 4))) & (TABLE - 1))
+    outs.reverse()
+    return jnp.stack(outs)
+
+
+def msm_kernel(ops, X, Y, z, nwin: int):
+    """Core MSM: affine points (n, B) + canonical scalar limbs (nl, B).
+
+    Zero scalars (including zero-padded lanes — pad coords with anything)
+    select table entry 0 = the projective identity, so no masks are needed:
+    callers pad points and scalars to a power-of-two lane count and go.
+    Returns ONE projective point (coords (n, 1)).
+    """
+    F = ops.F
+    P = cdv.swp_from_affine(ops, X, Y)
+    tab = small_table(ops, P)
+    digits = digits_from_limbs(z, nwin)  # (W, B) MSW first
+
+    def wbody(acc, dig):
+        Q = onehot_select(tab, dig)
+        S = tree_reduce_lanes(ops, Q)
+        for _ in range(WINDOW_BITS):
+            acc = cdv.swp_double(ops, acc)
+        return cdv.swp_add(ops, acc, S), None
+
+    ident1 = cdv.swp_identity(ops, F.batch_shape(X)[:-1] + (1,))
+    gen_acc, _ = lax.scan(wbody, ident1, digits)
+    return gen_acc
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def msm_program(ops, X, Y, z, nwin: int):
+    """Jitted MSM returning projective coords (host finishes with bignum).
+
+    One compiled program per (ops, shapes, nwin); every Groth16 G1 query
+    of a proof reuses the same executable with different runtime inputs."""
+    return msm_kernel(ops, X, Y, z, nwin)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def bool_msm_program(ops, X, Y, mask):
+    """0/1-scalar MSM: one masked select + one lane tree reduction (B-1
+    adds total) — the fast path for the boolean witness class, which the
+    static circuit analysis routes off the Straus machinery entirely."""
+    F = ops.F
+    P = cdv.swp_from_affine(ops, X, Y)
+    ident = cdv.swp_identity(ops, F.batch_shape(X))
+    sel = cdv.swp_select(ops, (mask != 0), P, ident)
+    return tree_reduce_lanes(ops, sel)
+
+
+# ---------------------------------------------------------------------------
+# host-side finish: projective limb planes -> host affine point
+# ---------------------------------------------------------------------------
+
+
+def projective_to_host(spec_or_ops, curve, P):
+    """Device projective (coords (..., n, 1)) -> host affine point or None.
+
+    The single modular inverse runs in host bignum (pow(z, -1, p)) — three
+    orders of magnitude cheaper than a 255-step Fermat scan on device."""
+    X, Y, Z = (_squeeze_last(c) for c in (P[0], P[1], P[2]))
+    return _proj_host(curve, X, Y, Z)
+
+
+def _squeeze_last(c):
+    if isinstance(c, tuple):
+        return tuple(_squeeze_last(ci) for ci in c)
+    return np.asarray(c)[..., 0]
+
+
+def _limbs_to_int(a) -> int:
+    return sum(int(x) << (lm.LIMB_BITS * i) for i, x in enumerate(np.asarray(a)))
+
+
+def _proj_host(curve, X, Y, Z):
+    field = curve.field
+    if isinstance(X, tuple):  # Fp2
+        f2 = curve.field
+        fq = f2.base
+        pq = fq.p
+        rinv = pow(1 << (lm.LIMB_BITS * X[0].shape[-1]), -1, pq)
+
+        def dec2(c):
+            return f2(
+                fq(_limbs_to_int(c[0]) * rinv % pq),
+                fq(_limbs_to_int(c[1]) * rinv % pq),
+            )
+
+        x, y, z = dec2(X), dec2(Y), dec2(Z)
+        if z == f2.zero():
+            return None
+        zi = z.inv()
+        return (x * zi, y * zi)
+
+    pq = field.p
+    rinv = pow(1 << (lm.LIMB_BITS * X.shape[-1]), -1, pq)
+    xv = _limbs_to_int(X) * rinv % pq
+    yv = _limbs_to_int(Y) * rinv % pq
+    zv = _limbs_to_int(Z) * rinv % pq
+    if zv == 0:
+        return None
+    zi = pow(zv, -1, pq)
+    return (field(xv * zi % pq), field(yv * zi % pq))

@@ -54,6 +54,13 @@ class ConstraintSystem:
         self.B: list[LC] = []
         self.C: list[LC] = []
         self.names: list[str] = []
+        # variable indices constrained to {0,1} by gadget structure: the
+        # static class map the prover's MSM layer uses to route boolean
+        # witness scalars off the windowed path (msm.straus)
+        self.boolean_vars: set[int] = set()
+
+    def mark_boolean(self, idx: int):
+        self.boolean_vars.add(idx)
 
     # -- allocation ----------------------------------------------------------
     def new_input(self, value: int) -> int:

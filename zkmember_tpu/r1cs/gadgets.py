@@ -112,6 +112,8 @@ class Boolean:
         v = FpVar.new_witness(cs, bit)
         # b * (1 - b) = 0
         cs.enforce(v.lc, one_lc(cs).plus(v.lc.scaled(-1, cs.p), cs.p), LC(), "bool")
+        (idx,) = v.lc.keys()
+        cs.mark_boolean(idx)
         return cls(v)
 
     @classmethod

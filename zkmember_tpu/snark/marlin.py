@@ -164,12 +164,14 @@ def universal_setup(
     return kzg.setup(d, curve=curve, rng=rng or frng.test_rng())
 
 
-def index(pp: kzg.UniversalParams, cs: ConstraintSystem, curve: str = "bls12_381"):
+def index(pp: kzg.UniversalParams, cs: ConstraintSystem, curve: str | None = None):
     """AHP indexer: arithmetize A/B/C into row/col/val polys + commitments.
 
     Bound invariants (benches/marlin.rs:150-156): the circuit must satisfy
     rows <= , vars <=, nnz <= the universal_setup sizes or commit() asserts.
-    """
+    The curve is taken from the SRS (a BLS default here silently indexed
+    BW6 circuits over the wrong field — round-4 regression)."""
+    curve = curve or pp.curve
     cfg = pairing_config(curve)
     r = cfg.r
     ni, nv, nc = cs.num_instance, cs.num_variables, cs.num_constraints
@@ -298,8 +300,9 @@ def prove(ipk: IndexProverKey, cs: ConstraintSystem, rng=None) -> MarlinProof:
     c_zb = kzg.commit(pp, hp.trim(zb_hat) or [0])
 
     tr = Transcript(b"zkmember_tpu/marlin")
+    fw = (p.bit_length() + 7) // 8  # field width: 32B (BLS Fr) / 48B (BW6 Fr)
     for i in range(ni):
-        tr.absorb_int(cs.values[i], 32)
+        tr.absorb_int(cs.values[i], fw)
     for c in (c_w, c_za, c_zb):
         tr.absorb_point(c.c)
     alpha = tr.challenge(p)
@@ -538,8 +541,9 @@ def verify(ivk: IndexVerifierKey, public_inputs: list[int], proof: MarlinProof) 
     full_inputs = [1] + [v % p for v in public_inputs]
     if len(full_inputs) != ni:
         return False
+    fw = (p.bit_length() + 7) // 8
     for v in full_inputs:
-        tr.absorb_int(v, 32)
+        tr.absorb_int(v, fw)
     for c in (c_w, c_za, c_zb):
         tr.absorb_point(c.c)
     alpha = tr.challenge(p)

@@ -32,12 +32,14 @@ def _points_to_npz(prefix: str, pa: "msmmod.PointArray", store: dict):
     put(f"{prefix}_y", pa.y)
 
 
-def _points_from_npz(prefix: str, data, F, curve) -> "msmmod.PointArray":
+def _points_from_npz(prefix: str, data, F, curve, device: bool) -> "msmmod.PointArray":
+    conv = jnp.asarray if device else np.asarray
+
     def get(name):
         sub = sorted(k for k in data.files if k.startswith(name + "_c"))
         if sub:
-            return tuple(jnp.asarray(data[k]) for k in sub)
-        return jnp.asarray(data[name])
+            return tuple(conv(data[k]) for k in sub)
+        return conv(data[name])
 
     return msmmod.PointArray(F, curve, get(f"{prefix}_x"), get(f"{prefix}_y"))
 
@@ -66,7 +68,10 @@ def save_groth16_keys(path: str, pk: "groth16.ProvingKey"):
         json.dump(meta, f)
 
 
-def load_groth16_keys(path: str) -> "groth16.ProvingKey":
+def load_groth16_keys(path: str, device: bool = True) -> "groth16.ProvingKey":
+    """device=False keeps the query planes as host numpy — the limb-major
+    key builder (snark.prove_lm.Groth16KeysLM) re-lays them out itself, and
+    a device round-trip through the tunnel costs seconds at 2^14 points."""
     with open(path + ".json") as f:
         meta = json.load(f)
     curve = meta["curve"]
@@ -78,7 +83,7 @@ def load_groth16_keys(path: str) -> "groth16.ProvingKey":
     def pa(name, g2=False):
         F = cfg.F2 if g2 else cfg.F1
         curve_obj = cfg.mod.G2 if g2 else cfg.mod.G1
-        return _points_from_npz(name, data, F, curve_obj)
+        return _points_from_npz(name, data, F, curve_obj, device)
 
     return groth16.ProvingKey(
         curve=curve,

@@ -122,6 +122,45 @@ def _lift_x_ext(curve, x):
 
 
 # ---------------------------------------------------------------------------
+# zcash/IETF compressed format (BLS12-381 only) — known-answer anchor
+# ---------------------------------------------------------------------------
+#
+# The ark-serialize 0.3 format above has no published byte vectors we can
+# check offline (no Rust in this environment), but the zcash format does:
+# the canonical compressed generators are fixed constants of the IETF
+# BLS signature suites.  Encoding the SAME points both ways pins down our
+# generator/sign-convention constants against published data; the two
+# formats differ only in endianness (LE vs BE), flag placement (last vs
+# first byte), and the extra "is compressed" bit (zcash bit7).
+
+
+def bls_point_to_bytes_zcash(curve, pt) -> bytes:
+    """zcash-format compressed point (BE, flags in the FIRST byte:
+    0x80 = compressed, 0x40 = infinity, 0x20 = lexicographically-larger y).
+    """
+    base_p = _base_modulus(curve.field)
+    per = _field_bytes(base_p)
+    ncoeff = _coord_nbytes(curve.field) // per
+    if pt is None:
+        out = bytearray(ncoeff * per)
+        out[0] = 0x80 | 0x40
+        return bytes(out)
+    x, y = pt
+    coeffs = _coord_ints(x)[::-1]  # c1 first for Fq2 (zcash order)
+    out = bytearray()
+    for c in coeffs:
+        out += int(c).to_bytes(per, "big")
+    ys = _coord_ints(y)[::-1]  # compare c1, then c0
+    larger = False
+    for c in ys:
+        if c:
+            larger = c > (base_p - 1) // 2
+            break
+    out[0] |= 0x80 | (0x20 if larger else 0)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # proof / key containers (Groth16)
 # ---------------------------------------------------------------------------
 
