@@ -95,7 +95,10 @@ def main():
     keys = prove_lm.Groth16KeysLM(pk, cs)
     mark("limb-major key planes resident")
 
-    # warm-up prove (compiles / loads cached programs), then timed prove
+    prove_lm.warm(keys, verbose=True)
+    mark("device programs compiled (parallel warm-up)")
+
+    # warm-up prove (everything resident), then timed prove
     proof = prove_lm.prove(keys, cs, rng=rng)
     mark("prove warm-up")
     t1 = time.time()

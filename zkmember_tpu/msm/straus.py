@@ -235,6 +235,13 @@ def _squeeze_last(c):
     return np.asarray(c)[..., 0]
 
 
+def _row(c, i: int):
+    """Select row i of a leading batch axis (tuple-of-coords aware)."""
+    if isinstance(c, tuple):
+        return tuple(_row(ci, i) for ci in c)
+    return c[i]
+
+
 def _limbs_to_int(a) -> int:
     return sum(int(x) << (lm.LIMB_BITS * i) for i, x in enumerate(np.asarray(a)))
 

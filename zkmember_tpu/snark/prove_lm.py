@@ -6,22 +6,23 @@ call stack: /root/reference — ark-groth16 prove, SURVEY.md section 3.1):
 
   host   witness synthesis -> native CSR matvecs (A z, B z, C z)
   device H = coset-NTT pipeline, ONE program, output stays resident
-  device 5 proof MSMs: Straus windows for general-class scalars,
-         masked tree reduction for the boolean class (static per circuit)
+  device ALL FOUR G1 MSMs (a, b1, l, h) as ONE stacked Straus program —
+         a (4, n, M) leading-axis batch quadruples the mul-kernel lane
+         count (the limb-major mont_mul saturates near 64k lanes) and
+         collapses 4 dispatches into 1
+  device G2 MSM (b2) + one stacked boolean-class masked reduction
   host   randomized assembly (A, B, C from r, s) + serialization
 
 Static classification: every query's point set is partitioned ONCE (at key
-build) into boolean-class lanes (witness vars carrying gadget Booleans —
-the majority in Pedersen circuits) and general lanes; each class gets a
-padded power-of-two plane set, so proofs never gather on device.
+build) into boolean-class lanes (gadget Booleans — witness bits) and
+general lanes; each class gets padded power-of-two planes, so proofs never
+gather or classify on device.  Zero-padded lanes select table entry 0
+(the projective identity) and vanish.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from zkmember_tpu.fields import device as dv
@@ -61,7 +62,6 @@ def _sw_ops_lm(cfg: "groth16.PairingConfig", g2: bool):
 
 
 def _pad_lanes(arr: np.ndarray, B: int) -> np.ndarray:
-    """(..., b) -> (..., B) zero-padded along the last axis."""
     b = arr.shape[-1]
     if b == B:
         return arr
@@ -69,24 +69,32 @@ def _pad_lanes(arr: np.ndarray, B: int) -> np.ndarray:
     return np.pad(arr, pad)
 
 
-@dataclass
-class _QueryLM:
-    """One MSM query's device-resident planes, split by scalar class."""
+def _planes(pa, take, limb_major=True):
+    """PointArray rows (host or device) -> limb-major numpy coord planes."""
 
-    gen_X: object  # limb-major coord planes (or Fp2 tuples), padded
-    gen_Y: object
-    gen_z_cols: np.ndarray  # var indices feeding the general lanes
-    gen_B: int
-    bool_X: object
-    bool_Y: object
-    bool_z_cols: np.ndarray
-    bool_B: int
+    def conv(c):
+        if isinstance(c, tuple):
+            return tuple(conv(ci) for ci in c)
+        c = np.asarray(c)[take]
+        return np.swapaxes(c, -1, -2) if limb_major else c
+
+    return conv(pa.x), conv(pa.y)
+
+
+def _stack_pad(plane_list, B):
+    """[(n, b_i)] -> (k, n, B) zero-padded stacked jnp array."""
+    if isinstance(plane_list[0], tuple):  # Fp2: stack per component
+        return tuple(
+            jnp.stack([jnp.asarray(_pad_lanes(p[i], B)) for p in plane_list])
+            for i in range(2)
+        )
+    return jnp.stack([jnp.asarray(_pad_lanes(p, B)) for p in plane_list])
 
 
 class Groth16KeysLM:
-    """Limb-major proving-key planes + static scalar classes for prove_lm.
+    """Limb-major proving-key planes + static scalar classes for prove().
 
-    Built from the v1 ProvingKey (device or checkpoint-loaded) plus the
+    Built from the v1 ProvingKey (device- or checkpoint-resident) plus the
     circuit's boolean-variable set."""
 
     def __init__(self, pk: "groth16.ProvingKey", cs: ConstraintSystem):
@@ -98,65 +106,63 @@ class Groth16KeysLM:
         self.fr = cfg.fr_spec
         self.nwin = (cfg.r.bit_length() + straus.WINDOW_BITS - 1) // straus.WINDOW_BITS
         self.domain_lm = nttlm.DomainLM.get(self.fr, pk.domain_size)
+        M = pk.domain_size
+        self.M = M
 
         boolean = cs.boolean_vars
         ni = pk.num_instance
 
-        def split(idx_list, is_bool_fn):
-            idx = np.asarray(idx_list, np.int64)
-            mask = np.fromiter((is_bool_fn(i) for i in idx), bool, len(idx))
-            return idx[~mask], idx[mask]
-
-        a_gen, a_bool = split(pk.a_nonzero, lambda i: i in boolean)
-        b_gen, b_bool = split(pk.b_nonzero, lambda i: i in boolean)
-        l_gen, l_bool = split(pk.l_nonzero, lambda i: (i + ni) in boolean)
-
-        def planes(pa, take, g2=False):
-            """PointArray rows -> limb-major numpy planes (host-side)."""
-
-            def conv(c):
-                if isinstance(c, tuple):
-                    return tuple(conv(ci) for ci in c)
-                return np.swapaxes(np.asarray(c)[take], -1, -2)
-
-            return conv(pa.x), conv(pa.y)
-
-        def pad_planes(xy, B):
-            def pd(c):
-                if isinstance(c, tuple):
-                    return tuple(pd(ci) for ci in c)
-                return jnp.asarray(_pad_lanes(c, B))
-
-            return pd(xy[0]), pd(xy[1])
-
-        def build_query(pa, nz, gen_idx, bool_idx, g2=False):
+        def split(nz, to_abs=lambda i: i):
+            gen = [i for i in nz if to_abs(i) not in boolean]
+            boo = [i for i in nz if to_abs(i) in boolean]
             pos = {v: k for k, v in enumerate(nz)}
-            gen_take = np.asarray([pos[i] for i in gen_idx], np.int64)
-            bool_take = np.asarray([pos[i] for i in bool_idx], np.int64)
-            gB = max(1, _next_pow2(len(gen_take)))
-            bB = max(1, _next_pow2(len(bool_take)))
-            gx, gy = pad_planes(planes(pa, gen_take, g2), gB)
-            bx, by = pad_planes(planes(pa, bool_take, g2), bB)
-            return _QueryLM(gx, gy, np.asarray(gen_idx), gB, bx, by, np.asarray(bool_idx), bB)
+            return (
+                np.asarray(gen, np.int64),
+                np.asarray(boo, np.int64),
+                np.asarray([pos[i] for i in gen], np.int64),
+                np.asarray([pos[i] for i in boo], np.int64),
+            )
 
-        self.a_q = build_query(pk.a_query, pk.a_nonzero, a_gen, a_bool)
-        self.b_q1 = build_query(pk.b_g1_query, pk.b_nonzero, b_gen, b_bool)
-        self.b_q2 = build_query(
-            pk.b_g2_query, pk.b_nonzero, b_gen, b_bool, g2=pk.curve == "bls12_381"
-        )
-        l_nz = pk.l_nonzero
-        self.l_q = build_query(
-            pk.l_query, l_nz, [i for i in l_nz if (i + ni) not in boolean],
-            [i for i in l_nz if (i + ni) in boolean],
-        )
-        # l query's z columns are witness-relative: shift to absolute
-        self.l_q.gen_z_cols = self.l_q.gen_z_cols + ni
-        self.l_q.bool_z_cols = self.l_q.bool_z_cols + ni
+        a_gen, a_boo, a_gt, a_bt = split(pk.a_nonzero)
+        b_gen, b_boo, b_gt, b_bt = split(pk.b_nonzero)
+        l_gen, l_boo, l_gt, l_bt = split(pk.l_nonzero, to_abs=lambda i: i + ni)
 
-        # H query: all-general, domain-size lanes (scalar M-1 padded w/ 0)
-        M = pk.domain_size
-        hx, hy = planes(pk.h_query, np.arange(M - 1), False)
-        self.h_X, self.h_Y = pad_planes((hx, hy), M)
+        # -- stacked G1 general planes: rows [a, b1, l, h], lanes = M --------
+        ax, ay = _planes(pk.a_query, a_gt)
+        bx, by = _planes(pk.b_g1_query, b_gt)
+        lx, ly = _planes(pk.l_query, l_gt)
+        hx, hy = _planes(pk.h_query, np.arange(len(pk.h_query)))
+        self.g1_X = _stack_pad([ax, bx, lx, hx], M)
+        self.g1_Y = _stack_pad([ay, by, ly, hy], M)
+        # absolute z columns per general row (h row has no z gather)
+        self.gen_cols = [a_gen, b_gen, l_gen + ni]
+
+        # -- stacked G1 boolean planes: rows [a, b1, l] ----------------------
+        Bb = max(1, _next_pow2(max(len(a_bt), len(b_bt), len(l_bt))))
+        self.Bb = Bb
+        abx, aby = _planes(pk.a_query, a_bt)
+        bbx, bby = _planes(pk.b_g1_query, b_bt)
+        lbx, lby = _planes(pk.l_query, l_bt)
+        self.g1b_X = _stack_pad([abx, bbx, lbx], Bb)
+        self.g1b_Y = _stack_pad([aby, bby, lby], Bb)
+        self.bool_cols = [a_boo, b_boo, l_boo + ni]
+
+        # -- G2 (b-query) ----------------------------------------------------
+        g2_is_fp2 = pk.curve == "bls12_381"
+        B2g = max(1, _next_pow2(len(b_gt)))
+        B2b = max(1, _next_pow2(len(b_bt)))
+        g2x, g2y = _planes(pk.b_g2_query, b_gt)
+        g2bx, g2by = _planes(pk.b_g2_query, b_bt)
+
+        def jpad(c, B):
+            if isinstance(c, tuple):
+                return tuple(jpad(ci, B) for ci in c)
+            return jnp.asarray(_pad_lanes(c, B))
+
+        self.g2_X, self.g2_Y = jpad(g2x, B2g), jpad(g2y, B2g)
+        self.g2b_X, self.g2b_Y = jpad(g2bx, B2b), jpad(g2by, B2b)
+        self.B2g, self.B2b = B2g, B2b
+        self.b_gen_cols, self.b_bool_cols = b_gen, b_boo
 
 
 def _z_rows16(cs: ConstraintSystem, fr: dv.FieldSpec) -> np.ndarray:
@@ -169,26 +175,78 @@ def _z_rows16(cs: ConstraintSystem, fr: dv.FieldSpec) -> np.ndarray:
     return np.ascontiguousarray(u16.T)
 
 
-def _msm_pair(keys: Groth16KeysLM, q: _QueryLM, z16: np.ndarray, ops, curve):
-    """Run (general + boolean) MSMs for one query; host affine result."""
-    parts = []
-    if len(q.gen_z_cols):
-        zq = jnp.asarray(_pad_lanes(z16[:, q.gen_z_cols], q.gen_B))
-        out = straus.msm_program(ops, q.gen_X, q.gen_Y, zq, keys.nwin)
-        parts.append(out)
-    if len(q.bool_z_cols):
-        mask = jnp.asarray(
-            _pad_lanes(z16[0:1, q.bool_z_cols][0].astype(np.uint32), q.bool_B)
+def warm(keys: Groth16KeysLM, verbose: bool = False):
+    """Compile the proof's device programs in PARALLEL threads.
+
+    The axon backend compiles remotely with high, variable latency
+    (5..300 s per program) and its persistent compile cache does not hit
+    across processes, so a cold prove would pay ~5 serial remote compiles.
+    XLA compilation releases the GIL (it is an RPC on this backend): firing
+    all programs from a thread pool collapses cold start to ~max(one).
+    Blocks until every program is resident."""
+    import sys
+    import threading
+    import time
+
+    import jax
+
+    fr = keys.fr
+    dlm = keys.domain_lm
+    M = keys.M
+
+    def log(msg, t0):
+        if verbose:
+            print(f"# [warm] {msg} in {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+
+    def zlike(c):
+        if isinstance(c, tuple):
+            return tuple(zlike(ci) for ci in c)
+        return jnp.zeros_like(c)
+
+    def j_g1x4():
+        z = jnp.zeros((4, fr.n, M), jnp.uint32)
+        jax.block_until_ready(
+            straus.msm_program(keys.ops1, zlike(keys.g1_X), zlike(keys.g1_Y), z, keys.nwin)
         )
-        out = straus.bool_msm_program(ops, q.bool_X, q.bool_Y, mask)
-        parts.append(out)
-    host = [straus.projective_to_host(None, curve, p) for p in parts]
-    acc = None
-    for h in host:
-        if h is None:
-            continue
-        acc = h if acc is None else curve.add(acc, h)
-    return acc
+
+    def j_g1b():
+        m = jnp.zeros((3, keys.Bb), jnp.uint32)
+        jax.block_until_ready(
+            straus.bool_msm_program(keys.ops1, zlike(keys.g1b_X), zlike(keys.g1b_Y), m)
+        )
+
+    def j_g2():
+        z = jnp.zeros((fr.n, keys.B2g), jnp.uint32)
+        jax.block_until_ready(
+            straus.msm_program(keys.ops2, zlike(keys.g2_X), zlike(keys.g2_Y), z, keys.nwin)
+        )
+
+    def j_g2b():
+        m = jnp.zeros((keys.B2b,), jnp.uint32)
+        jax.block_until_ready(
+            straus.bool_msm_program(keys.ops2, zlike(keys.g2b_X), zlike(keys.g2b_Y), m)
+        )
+
+    def j_ntt():
+        z = jnp.zeros((fr.n, M), jnp.uint32)
+        jax.block_until_ready(nttlm.groth16_h(dlm, z, z, z))
+
+    jobs = [("g1x4", j_g1x4), ("g1bool", j_g1b), ("g2", j_g2), ("g2bool", j_g2b), ("ntt_h", j_ntt)]
+    threads = []
+    for name, fn in jobs:
+        def run(name=name, fn=fn):
+            t0 = time.time()
+            try:
+                fn()
+                log(f"{name} ready", t0)
+            except Exception as e:  # pragma: no cover - warm-up must not kill prove
+                print(f"# [warm] {name} FAILED: {e}", file=sys.stderr, flush=True)
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        threads.append(t)
+    for t in threads:
+        t.join()
 
 
 def prove(keys: Groth16KeysLM, cs: ConstraintSystem, rng=None) -> "groth16.Proof":
@@ -212,13 +270,12 @@ def prove(keys: Groth16KeysLM, cs: ConstraintSystem, rng=None) -> "groth16.Proof
     rr = frng.field_element(rng, r_mod)
     ss = frng.field_element(rng, r_mod)
     fr = keys.fr
-    M = pk.domain_size
+    M = keys.M
     nf = zknative.NativeField.get(fr.p, fr.n)
 
     with prof.phase("matrix_evals"):
         if nf is not None:
             da, db, dc, _ = groth16._matrix_evals_native(cs, M, nf)
-            # batch-major planes -> limb-major
             da, db, dc = (lm.to_lm(x) for x in (da, db, dc))
         else:
             a_ev, b_ev, c_ev = groth16._matrix_evals(cs, M)
@@ -231,21 +288,49 @@ def prove(keys: Groth16KeysLM, cs: ConstraintSystem, rng=None) -> "groth16.Proof
 
     with prof.phase("witness_planes"):
         z16 = _z_rows16(cs, fr)
+        zq = np.stack(
+            [_pad_lanes(z16[:, cols], M) for cols in keys.gen_cols]
+        )  # (3, nl, M)
+        z4 = jnp.concatenate([jnp.asarray(zq), h_limbs[None]], axis=0)
+        bmask = np.stack(
+            [
+                _pad_lanes(z16[0, cols].astype(np.uint32), keys.Bb)
+                for cols in keys.bool_cols
+            ]
+        )  # (3, Bb)
+        z2 = jnp.asarray(_pad_lanes(z16[:, keys.b_gen_cols], keys.B2g))
+        b2mask = jnp.asarray(
+            _pad_lanes(z16[0, keys.b_bool_cols].astype(np.uint32), keys.B2b)
+        )
 
-    with prof.phase("msm_a"):
-        a_acc = _msm_pair(keys, keys.a_q, z16, keys.ops1, g1)
-    with prof.phase("msm_b1"):
-        b1_acc = _msm_pair(keys, keys.b_q1, z16, keys.ops1, g1)
+    with prof.phase("msm_g1x4"):
+        out4 = straus.msm_program(keys.ops1, keys.g1_X, keys.g1_Y, z4, keys.nwin)
+        g1_pts = [
+            straus.projective_to_host(
+                None, g1, tuple(straus._row(c, i) for c in out4)
+            )
+            for i in range(4)
+        ]
+        a_gen, b1_gen, l_gen, h_acc = g1_pts
+    with prof.phase("msm_g1_bool"):
+        outb = straus.bool_msm_program(
+            keys.ops1, keys.g1b_X, keys.g1b_Y, jnp.asarray(bmask)
+        )
+        a_boo, b1_boo, l_boo = (
+            straus.projective_to_host(None, g1, tuple(straus._row(c, i) for c in outb))
+            for i in range(3)
+        )
     with prof.phase("msm_b2"):
-        b2_acc = _msm_pair(keys, keys.b_q2, z16, keys.ops2, g2)
-    with prof.phase("msm_h"):
-        # H scalars: device-resident canonical limbs; last lane zero-padded
-        h_out = straus.msm_program(keys.ops1, keys.h_X, keys.h_Y, h_limbs, keys.nwin)
-        h_acc = straus.projective_to_host(None, g1, h_out)
-    with prof.phase("msm_l"):
-        l_acc = _msm_pair(keys, keys.l_q, z16, keys.ops1, g1)
+        out2 = straus.msm_program(keys.ops2, keys.g2_X, keys.g2_Y, z2, keys.nwin)
+        b2_gen = straus.projective_to_host(None, g2, out2)
+        out2b = straus.bool_msm_program(keys.ops2, keys.g2b_X, keys.g2b_Y, b2mask)
+        b2_boo = straus.projective_to_host(None, g2, out2b)
 
     with prof.phase("assemble"):
+        a_acc = g1.add(a_gen, a_boo)
+        b1_acc = g1.add(b1_gen, b1_boo)
+        l_acc = g1.add(l_gen, l_boo)
+        b2_acc = g2.add(b2_gen, b2_boo)
         A = g1.add(g1.add(pk.vk.alpha_g1, a_acc), g1.mul(rr, pk.delta_g1))
         B2 = g2.add(g2.add(pk.vk.beta_g2, b2_acc), g2.mul(ss, pk.vk.delta_g2))
         B1 = g1.add(g1.add(pk.beta_g1, b1_acc), g1.mul(ss, pk.delta_g1))
