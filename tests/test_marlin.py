@@ -91,3 +91,25 @@ def test_marlin_bw6_smoke():
     proof = marlin.prove(ipk, cs, rng=rng)
     assert marlin.verify(ivk, [out_val], proof)
     assert not marlin.verify(ivk, [(out_val + 1) % r], proof)
+
+
+def test_marlin_zk_masking():
+    """Same circuit, different prover randomness -> different commitments
+    and different beta1 evaluations (witness hiding); both proofs verify."""
+    import random
+
+    rng = frng.test_rng()
+    cs, out_val = toy_circuit(7)
+    pp = marlin.universal_setup(
+        cs.num_constraints, cs.num_variables, 32, curve="bls12_381", rng=rng
+    )
+    ipk, ivk = marlin.index(pp, cs)
+    p1 = marlin.prove(ipk, cs, rng=random.Random(101))
+    p2 = marlin.prove(ipk, cs, rng=random.Random(202))
+    assert marlin.verify(ivk, [out_val], p1)
+    assert marlin.verify(ivk, [out_val], p2)
+    # commitments to the witness polynomial must not repeat across proofs
+    assert p1.comms1[0].c != p2.comms1[0].c, "w_hat commitment is deterministic"
+    assert p1.comms1[1].c != p2.comms1[1].c, "z_A commitment is deterministic"
+    assert p1.evals_beta1["w_hat"] != p2.evals_beta1["w_hat"]
+    assert p1.evals_beta1["z_a"] != p2.evals_beta1["z_a"]

@@ -97,3 +97,20 @@ def test_prove_lm_toy_e2e():
     proof = prove_lm.prove(keys, cs, rng=rng)
     assert groth16.verify(vk, [out_val], proof)
     assert not groth16.verify(vk, [(out_val + 1) % bls.R], proof)
+
+
+def test_prove_lm_sharded_8dev():
+    """Full prove with every MSM sharded over the 8-virtual-device mesh
+    (the multichip path the driver dryruns; SURVEY.md sections 2.3/5.8)."""
+    import jax
+    from zkmember_tpu.parallel import dist
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh (tests/conftest.py)")
+    mesh = dist.make_mesh(8, dp=1)
+    rng = frng.test_rng()
+    cs, out_val = _cube_cs()
+    pk, vk = groth16.setup(cs, curve="bls12_381", rng=rng)
+    keys = prove_lm.Groth16KeysLM(pk, cs, min_lanes=8)
+    proof = prove_lm.prove(keys, cs, rng=rng, mesh=mesh)
+    assert groth16.verify(vk, [out_val], proof)

@@ -169,6 +169,40 @@ def digits_from_limbs(z, nwin: int):
     return jnp.stack(outs)
 
 
+def window_sums(ops, X, Y, z, nwin: int):
+    """Per-window selected-point sums: coords (W, ..., n, 1), MSW first.
+
+    The lane-parallel half of the MSM (table build + one-hot selects +
+    lane reductions); the sequential Horner join lives in horner_join so
+    the multi-chip path can all-gather between the two."""
+    P = cdv.swp_from_affine(ops, X, Y)
+    tab = small_table(ops, P)
+    digits = digits_from_limbs(z, nwin)  # (W, ..., B) MSW first
+
+    def wbody(_, dig):
+        Q = onehot_select(tab, dig)
+        return None, tree_reduce_lanes(ops, Q)
+
+    _, S = lax.scan(wbody, None, digits)
+    return S
+
+
+def horner_join(ops, S):
+    """Window sums (coords (W, ..., n, 1), MSW first) -> one point.
+
+    acc = 16*acc + S_w per window (WINDOW_BITS doubles + 1 add each)."""
+    F = ops.F
+    ident = cdv.swp_identity(ops, F.batch_shape(S[0])[1:])
+
+    def body(acc, sw):
+        for _ in range(WINDOW_BITS):
+            acc = cdv.swp_double(ops, acc)
+        return cdv.swp_add(ops, acc, sw), None
+
+    acc, _ = lax.scan(body, ident, S)
+    return acc
+
+
 def msm_kernel(ops, X, Y, z, nwin: int):
     """Core MSM: affine points (n, B) + canonical scalar limbs (nl, B).
 
@@ -177,21 +211,7 @@ def msm_kernel(ops, X, Y, z, nwin: int):
     callers pad points and scalars to a power-of-two lane count and go.
     Returns ONE projective point (coords (n, 1)).
     """
-    F = ops.F
-    P = cdv.swp_from_affine(ops, X, Y)
-    tab = small_table(ops, P)
-    digits = digits_from_limbs(z, nwin)  # (W, B) MSW first
-
-    def wbody(acc, dig):
-        Q = onehot_select(tab, dig)
-        S = tree_reduce_lanes(ops, Q)
-        for _ in range(WINDOW_BITS):
-            acc = cdv.swp_double(ops, acc)
-        return cdv.swp_add(ops, acc, S), None
-
-    ident1 = cdv.swp_identity(ops, F.batch_shape(X)[:-1] + (1,))
-    gen_acc, _ = lax.scan(wbody, ident1, digits)
-    return gen_acc
+    return horner_join(ops, window_sums(ops, X, Y, z, nwin))
 
 
 @partial(jax.jit, static_argnums=(0, 4))
@@ -201,6 +221,81 @@ def msm_program(ops, X, Y, z, nwin: int):
     One compiled program per (ops, shapes, nwin); every Groth16 G1 query
     of a proof reuses the same executable with different runtime inputs."""
     return msm_kernel(ops, X, Y, z, nwin)
+
+
+# ---------------------------------------------------------------------------
+# multi-chip sharding: points sharded across the mesh lane axis, per-window
+# partial sums all-gathered over ICI and joined on every device (SPMD — the
+# TPU-native replacement for the reference's rayon data parallelism inside
+# ark-ec's MSM, SURVEY.md sections 2.3 / 5.8)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0, 1, 5))
+def sharded_msm_program(ops, mesh, X, Y, z, nwin: int):
+    """MSM with the point/scalar lane axis sharded over `mesh` axis 'msm'.
+
+    Each device: local Straus window sums over its lane shard (the O(B)
+    work).  One all_gather of (W, ..., n, D) single-point partials rides
+    ICI; every device then reduces D partials and Horner-joins (tiny,
+    replicated).  Lanes must divide evenly by the mesh axis size."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    lane_spec = P(*([None] * (_ndim_coords(X) - 1) + ["msm"]))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(lane_spec, lane_spec, lane_spec),
+        out_specs=P(),
+        check_rep=False,
+    )
+    def run(Xl, Yl, zl):
+        S = window_sums(ops, Xl, Yl, zl, nwin)  # coords (W, ..., n, 1)
+        Sg = jax.tree.map(
+            lambda c: lax.all_gather(c, "msm", axis=c.ndim - 1, tiled=True), S
+        )  # (W, ..., n, D)
+        total = tree_reduce_lanes(ops, Sg)
+        return horner_join(ops, total)
+
+    return run(X, Y, z)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def sharded_bool_msm_program(ops, mesh, X, Y, mask):
+    """Boolean-class MSM with lanes sharded over mesh axis 'msm'."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    lane_spec = P(*([None] * (_ndim_coords(X) - 1) + ["msm"]))
+    mask_spec = P(*([None] * (mask.ndim - 1) + ["msm"]))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(lane_spec, lane_spec, mask_spec),
+        out_specs=P(),
+        check_rep=False,
+    )
+    def run(Xl, Yl, ml):
+        F = ops.F
+        Pl = cdv.swp_from_affine(ops, Xl, Yl)
+        ident = cdv.swp_identity(ops, F.batch_shape(Xl))
+        sel = cdv.swp_select(ops, (ml != 0), Pl, ident)
+        S = tree_reduce_lanes(ops, sel)  # coords (..., n, 1)
+        Sg = jax.tree.map(
+            lambda c: lax.all_gather(c, "msm", axis=c.ndim - 1, tiled=True), S
+        )
+        return tree_reduce_lanes(ops, Sg)
+
+    return run(X, Y, mask)
+
+
+def _ndim_coords(c):
+    while isinstance(c, tuple):
+        c = c[0]
+    return c.ndim
 
 
 @partial(jax.jit, static_argnums=(0,))

@@ -31,8 +31,12 @@ inline since the ark byte transcript is not reproducible here):
   row/col/val x3}; openings batched per point; degree bounds enforced via
   shifted commitments opened at the same points (v_shift = v * q^(D-d)).
 
-Note: this round ships the non-hiding variant (commitments deterministic);
-zk masking terms are scheduled work — the reference's Marlin is zk.
+Zero knowledge: witness-dependent polynomials (w_hat, z_A, z_B and hence
+z) are masked with uniformly random multiples of vanishing polynomials
+before committing (see prove()), hiding both the commitments (uniform
+group elements) and the beta1 evaluations for this protocol's single
+query per polynomial.  This is the vanishing-poly masking form of zk
+Marlin; ark-marlin reaches the same property via hiding KZG randomizers.
 """
 
 from __future__ import annotations
@@ -294,6 +298,32 @@ def prove(ipk: IndexProverKey, cs: ConstraintSystem, rng=None) -> MarlinProof:
     assert not hp.trim(rem), "z - x_hat must vanish on X"
     za_hat = engine.intt(z_a)
     zb_hat = engine.intt(z_b)
+
+    # --- zero-knowledge masking (ark-marlin is zk; benches/marlin.rs:103) --
+    # Every witness-dependent committed polynomial gets a uniformly random
+    # multiple of a vanishing polynomial added:
+    #   z_A' = z_A + r_a v_H,  z_B' = z_B + r_b v_H,
+    #   w'   = w + r_w (v_H / v_X)   (so z' = z + r_w v_H stays consistent)
+    # Values on H are unchanged (masks vanish there), so every AHP identity
+    # and the verifier are untouched, while each commitment becomes
+    # C * (g^{v_H(tau)})^r — uniform in G1 — and each opened evaluation at
+    # beta1 is shifted by r * v_H(beta1), hiding the witness evaluations
+    # (one query per polynomial = one mask scalar suffices).
+    rng = rng or frng.test_rng()
+    r_w, r_a, r_b = (frng.field_element(rng, p) for _ in range(3))
+
+    def _add_vh(poly, r):
+        out = list(poly) + [0] * max(0, n_h + 1 - len(poly))
+        out[0] = (out[0] - r) % p
+        out[n_h] = (out[n_h] + r) % p
+        return out
+
+    za_hat = _add_vh(za_hat, r_a)
+    zb_hat = _add_vh(zb_hat, r_b)
+    z_hat = _add_vh(z_hat, r_w)
+    w_hat = list(w_hat) + [0] * max(0, n_h - n_x + 1 - len(w_hat))
+    for i in range(0, n_h - n_x + 1, n_x):  # + r_w * (v_H/v_X)
+        w_hat[i] = (w_hat[i] + r_w) % p
 
     c_w = kzg.commit(pp, hp.trim(w_hat) or [0])
     c_za = kzg.commit(pp, hp.trim(za_hat) or [0])

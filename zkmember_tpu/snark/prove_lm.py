@@ -97,7 +97,10 @@ class Groth16KeysLM:
     Built from the v1 ProvingKey (device- or checkpoint-resident) plus the
     circuit's boolean-variable set."""
 
-    def __init__(self, pk: "groth16.ProvingKey", cs: ConstraintSystem):
+    def __init__(self, pk: "groth16.ProvingKey", cs: ConstraintSystem, min_lanes: int = 1):
+        """min_lanes: pad every lane count to at least this (power of two);
+        set to the mesh 'msm' axis size for sharded proving so every plane
+        divides evenly across devices."""
         self.pk = pk
         cfg = groth16.pairing_config(pk.curve)
         self.cfg = cfg
@@ -138,7 +141,7 @@ class Groth16KeysLM:
         self.gen_cols = [a_gen, b_gen, l_gen + ni]
 
         # -- stacked G1 boolean planes: rows [a, b1, l] ----------------------
-        Bb = max(1, _next_pow2(max(len(a_bt), len(b_bt), len(l_bt))))
+        Bb = max(min_lanes, _next_pow2(max(len(a_bt), len(b_bt), len(l_bt), 1)))
         self.Bb = Bb
         abx, aby = _planes(pk.a_query, a_bt)
         bbx, bby = _planes(pk.b_g1_query, b_bt)
@@ -148,9 +151,8 @@ class Groth16KeysLM:
         self.bool_cols = [a_boo, b_boo, l_boo + ni]
 
         # -- G2 (b-query) ----------------------------------------------------
-        g2_is_fp2 = pk.curve == "bls12_381"
-        B2g = max(1, _next_pow2(len(b_gt)))
-        B2b = max(1, _next_pow2(len(b_bt)))
+        B2g = max(min_lanes, _next_pow2(max(len(b_gt), 1)))
+        B2b = max(min_lanes, _next_pow2(max(len(b_bt), 1)))
         g2x, g2y = _planes(pk.b_g2_query, b_gt)
         g2bx, g2by = _planes(pk.b_g2_query, b_bt)
 
@@ -249,8 +251,13 @@ def warm(keys: Groth16KeysLM, verbose: bool = False):
         t.join()
 
 
-def prove(keys: Groth16KeysLM, cs: ConstraintSystem, rng=None) -> "groth16.Proof":
-    """Groth16 prove on the limb-major stack (drop-in for groth16.prove)."""
+def prove(keys: Groth16KeysLM, cs: ConstraintSystem, rng=None, mesh=None) -> "groth16.Proof":
+    """Groth16 prove on the limb-major stack (drop-in for groth16.prove).
+
+    mesh: optional jax Mesh with an 'msm' axis — shards every proof MSM's
+    point lanes across devices (msm.straus.sharded_msm_program); build the
+    keys with min_lanes = mesh axis size.  The H NTT pipeline stays
+    single-device (its per-proof cost is ~1% of the MSMs)."""
     import os
     import sys
 
@@ -303,8 +310,19 @@ def prove(keys: Groth16KeysLM, cs: ConstraintSystem, rng=None) -> "groth16.Proof
             _pad_lanes(z16[0, keys.b_bool_cols].astype(np.uint32), keys.B2b)
         )
 
+    if mesh is None:
+        run_msm = lambda ops, X, Y, z: straus.msm_program(ops, X, Y, z, keys.nwin)
+        run_bool = straus.bool_msm_program
+    else:
+        run_msm = lambda ops, X, Y, z: straus.sharded_msm_program(
+            ops, mesh, X, Y, z, keys.nwin
+        )
+        run_bool = lambda ops, X, Y, m: straus.sharded_bool_msm_program(
+            ops, mesh, X, Y, m
+        )
+
     with prof.phase("msm_g1x4"):
-        out4 = straus.msm_program(keys.ops1, keys.g1_X, keys.g1_Y, z4, keys.nwin)
+        out4 = run_msm(keys.ops1, keys.g1_X, keys.g1_Y, z4)
         g1_pts = [
             straus.projective_to_host(
                 None, g1, tuple(straus._row(c, i) for c in out4)
@@ -313,17 +331,15 @@ def prove(keys: Groth16KeysLM, cs: ConstraintSystem, rng=None) -> "groth16.Proof
         ]
         a_gen, b1_gen, l_gen, h_acc = g1_pts
     with prof.phase("msm_g1_bool"):
-        outb = straus.bool_msm_program(
-            keys.ops1, keys.g1b_X, keys.g1b_Y, jnp.asarray(bmask)
-        )
+        outb = run_bool(keys.ops1, keys.g1b_X, keys.g1b_Y, jnp.asarray(bmask))
         a_boo, b1_boo, l_boo = (
             straus.projective_to_host(None, g1, tuple(straus._row(c, i) for c in outb))
             for i in range(3)
         )
     with prof.phase("msm_b2"):
-        out2 = straus.msm_program(keys.ops2, keys.g2_X, keys.g2_Y, z2, keys.nwin)
+        out2 = run_msm(keys.ops2, keys.g2_X, keys.g2_Y, z2)
         b2_gen = straus.projective_to_host(None, g2, out2)
-        out2b = straus.bool_msm_program(keys.ops2, keys.g2b_X, keys.g2b_Y, b2mask)
+        out2b = run_bool(keys.ops2, keys.g2b_X, keys.g2b_Y, b2mask)
         b2_boo = straus.projective_to_host(None, g2, out2b)
 
     with prof.phase("assemble"):
@@ -340,5 +356,26 @@ def prove(keys: Groth16KeysLM, cs: ConstraintSystem, rng=None) -> "groth16.Proof
         C = g1.add(C, g1.mul(rr, B1))
         C = g1.add(C, g1.mul((-rr * ss) % r_mod, pk.delta_g1))
     if prof._emit is not None:
+        # roofline accounting per MSM phase (BASELINE.json speed-of-light
+        # requirement): u32-mult work vs wall time vs kernel/VPU peaks
+        import sys as _sys
+
+        summ = prof.summary()
+        nl = fr.n
+        nbits = r_mod.bit_length()
+        g1_work = 4 * obs.straus_msm_work(M, nl, nbits)
+        g2_work = obs.straus_msm_work(
+            keys.B2g, nl, nbits, fp2=pk.curve == "bls12_381"
+        )
+        for metric, work, phase in (
+            ("msm_g1x4", g1_work, "msm_g1x4"),
+            ("msm_b2", g2_work, "msm_b2"),
+        ):
+            if phase in summ:
+                print(
+                    "# " + obs.throughput_line(metric, work, summ[phase]),
+                    file=_sys.stderr,
+                    flush=True,
+                )
         prof.dump()
     return groth16.Proof(curve=pk.curve, a=A, b=B2, c=C)
