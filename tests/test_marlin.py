@@ -113,3 +113,20 @@ def test_marlin_zk_masking():
     assert p1.comms1[1].c != p2.comms1[1].c, "z_A commitment is deterministic"
     assert p1.evals_beta1["w_hat"] != p2.evals_beta1["w_hat"]
     assert p1.evals_beta1["z_a"] != p2.evals_beta1["z_a"]
+
+
+def test_kzg_degree_bound_check():
+    """check_degree_bound accepts the true shifted evaluation and rejects a
+    forged one (and a commitment without a bound)."""
+    rng = frng.test_rng()
+    pp = kzg.setup(16, curve="bls12_381", rng=rng)
+    coeffs = [3, 1, 4, 1, 5]
+    bound = 8
+    comm = kzg.commit(pp, coeffs, degree_bound=bound)
+    z = 987654321
+    v = kzg.poly_eval(coeffs, z, bls.R)
+    v_sh = v * pow(z, pp.max_degree - bound, bls.R) % bls.R
+    assert kzg.check_degree_bound(pp, comm, z, v, v_sh)
+    assert not kzg.check_degree_bound(pp, comm, z, v, (v_sh + 1) % bls.R)
+    unbounded = kzg.commit(pp, coeffs)
+    assert not kzg.check_degree_bound(pp, unbounded, z, v, v_sh)

@@ -114,3 +114,20 @@ def test_prove_lm_sharded_8dev():
     keys = prove_lm.Groth16KeysLM(pk, cs, min_lanes=8)
     proof = prove_lm.prove(keys, cs, rng=rng, mesh=mesh)
     assert groth16.verify(vk, [out_val], proof)
+
+
+def test_checkpoint_round_trip_proves(tmp_path):
+    """Keys survive save/load (utils.checkpoint) and the loaded key proves —
+    the persistence subsystem the driver bench relies on (SURVEY.md 5.4)."""
+    from zkmember_tpu.utils import checkpoint
+
+    rng = frng.test_rng()
+    cs, out_val = _cube_cs()
+    pk, vk = groth16.setup(cs, curve="bls12_381", rng=rng)
+    path = str(tmp_path / "toy_keys")
+    checkpoint.save_groth16_keys(path, pk)
+    pk2 = checkpoint.load_groth16_keys(path, device=False)
+    assert pk2.domain_size == pk.domain_size
+    keys = prove_lm.Groth16KeysLM(pk2, cs)
+    proof = prove_lm.prove(keys, cs, rng=rng)
+    assert groth16.verify(pk2.vk, [out_val], proof)

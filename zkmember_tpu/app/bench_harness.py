@@ -55,19 +55,39 @@ def _build(stack: str, n_members: int, pad_to: int | None = None):
     return circuit, circuit.generate_constraints(), tree.root(), digests[idx]
 
 
-def bench_groth16(stack: str, sizes, reps: int = 1, out=print):
+def bench_groth16(stack: str, sizes, reps: int = 1, out=print, checkpoint_dir=None):
+    """Groth16 grid on the v2 (limb-major) prover.
+
+    checkpoint_dir: if set, proving keys are loaded from / saved to
+    `<dir>/groth16_<curve>_<n>` (utils.checkpoint) so the grid never redoes
+    setup across runs — the subsystem SURVEY.md section 5.4 calls for."""
+    import os
+
+    from zkmember_tpu.snark import prove_lm
+    from zkmember_tpu.utils import checkpoint
+
     curve = "bls12_381" if stack == "pedersen381" else "bw6_761"
     rng = frng.test_rng()
     for n in sizes:
         _, cs, root, leaf = _build(stack, n)
-        t0 = time.time()
-        pk, vk = groth16.setup(cs, curve=curve, rng=rng)
-        setup_s = time.time() - t0
-        out(_row(curve, "groth16", "setup", n, setup_s, cs))
-        proof = groth16.prove(pk, cs, rng=rng)  # warm-up/compile
+        ck = os.path.join(checkpoint_dir, f"groth16_{curve}_{n}") if checkpoint_dir else None
+        if ck and os.path.exists(ck + ".json"):
+            pk = checkpoint.load_groth16_keys(ck, device=False)
+            vk = pk.vk
+            out(_row(curve, "groth16", "setup", n, 0.0, cs, note="checkpoint"))
+        else:
+            t0 = time.time()
+            pk, vk = groth16.setup(cs, curve=curve, rng=rng)
+            out(_row(curve, "groth16", "setup", n, time.time() - t0, cs))
+            if ck:
+                os.makedirs(checkpoint_dir, exist_ok=True)
+                checkpoint.save_groth16_keys(ck, pk)
+        keys = prove_lm.Groth16KeysLM(pk, cs)
+        prove_lm.warm(keys)
+        proof = prove_lm.prove(keys, cs, rng=rng)  # warm-up
         for _ in range(reps):
             t0 = time.time()
-            proof = groth16.prove(pk, cs, rng=rng)
+            proof = prove_lm.prove(keys, cs, rng=rng)
             out(_row(curve, "groth16", "prove", n, time.time() - t0, cs))
         t0 = time.time()
         ok = groth16.verify(vk, [root, leaf], proof)
@@ -120,7 +140,7 @@ def bench_marlin(stack: str, sizes, universal: bool = False, reps: int = 1, out=
         assert ok
 
 
-def _row(curve, system, phase, n, seconds, cs, ok=None):
+def _row(curve, system, phase, n, seconds, cs, ok=None, note=None):
     row = {
         "name": f"{curve}_{system}_{phase}_{n}",
         "seconds": round(seconds, 4),
@@ -129,6 +149,8 @@ def _row(curve, system, phase, n, seconds, cs, ok=None):
     }
     if ok is not None:
         row["verified"] = bool(ok)
+    if note:
+        row["note"] = note
     return json.dumps(row)
 
 
@@ -140,11 +162,13 @@ def main(argv=None):
     ap.add_argument("--systems", default="groth16")
     ap.add_argument("--universal", action="store_true")
     ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument("--checkpoint-dir", default=None)
     args = ap.parse_args(argv)
     sizes = [int(s) for s in args.sizes.split(",")]
     for system in args.systems.split(","):
         if system == "groth16":
-            bench_groth16(args.stack, sizes, reps=args.reps)
+            bench_groth16(args.stack, sizes, reps=args.reps,
+                          checkpoint_dir=args.checkpoint_dir)
         elif system == "marlin":
             bench_marlin(args.stack, sizes, universal=args.universal, reps=args.reps)
         else:

@@ -169,21 +169,34 @@ def digits_from_limbs(z, nwin: int):
     return jnp.stack(outs)
 
 
-def window_sums(ops, X, Y, z, nwin: int):
+def window_sums(ops, X, Y, z, nwin: int, wgroup: int = 1):
     """Per-window selected-point sums: coords (W, ..., n, 1), MSW first.
 
     The lane-parallel half of the MSM (table build + one-hot selects +
     lane reductions); the sequential Horner join lives in horner_join so
-    the multi-chip path can all-gather between the two."""
+    the multi-chip path can all-gather between the two.
+
+    wgroup: windows processed per scan step on a fresh leading axis — the
+    occupancy knob.  The limb-major mont_mul saturates near 64k-256k lanes;
+    a single-query MSM at B=16k runs the reduction at ~25% of kernel peak,
+    so grouping G windows multiplies effective lanes by G (measured: the
+    G2 proof MSM at 6 -> ~18 G u32-mults/s)."""
     P = cdv.swp_from_affine(ops, X, Y)
     tab = small_table(ops, P)
     digits = digits_from_limbs(z, nwin)  # (W, ..., B) MSW first
+    if wgroup > 1:
+        assert nwin % wgroup == 0
+        digits = digits.reshape((nwin // wgroup, wgroup) + digits.shape[1:])
 
     def wbody(_, dig):
         Q = onehot_select(tab, dig)
         return None, tree_reduce_lanes(ops, Q)
 
     _, S = lax.scan(wbody, None, digits)
+    if wgroup > 1:
+        S = tuple(
+            _map_coord(lambda c: c.reshape((nwin,) + c.shape[2:]), x) for x in S
+        )
     return S
 
 
@@ -203,7 +216,7 @@ def horner_join(ops, S):
     return acc
 
 
-def msm_kernel(ops, X, Y, z, nwin: int):
+def msm_kernel(ops, X, Y, z, nwin: int, wgroup: int = 1):
     """Core MSM: affine points (n, B) + canonical scalar limbs (nl, B).
 
     Zero scalars (including zero-padded lanes — pad coords with anything)
@@ -211,16 +224,16 @@ def msm_kernel(ops, X, Y, z, nwin: int):
     callers pad points and scalars to a power-of-two lane count and go.
     Returns ONE projective point (coords (n, 1)).
     """
-    return horner_join(ops, window_sums(ops, X, Y, z, nwin))
+    return horner_join(ops, window_sums(ops, X, Y, z, nwin, wgroup))
 
 
-@partial(jax.jit, static_argnums=(0, 4))
-def msm_program(ops, X, Y, z, nwin: int):
+@partial(jax.jit, static_argnums=(0, 4, 5))
+def msm_program(ops, X, Y, z, nwin: int, wgroup: int = 1):
     """Jitted MSM returning projective coords (host finishes with bignum).
 
-    One compiled program per (ops, shapes, nwin); every Groth16 G1 query
-    of a proof reuses the same executable with different runtime inputs."""
-    return msm_kernel(ops, X, Y, z, nwin)
+    One compiled program per (ops, shapes, nwin, wgroup); every Groth16 G1
+    query of a proof reuses the same executable with new runtime inputs."""
+    return msm_kernel(ops, X, Y, z, nwin, wgroup)
 
 
 # ---------------------------------------------------------------------------
@@ -231,8 +244,8 @@ def msm_program(ops, X, Y, z, nwin: int):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(0, 1, 5))
-def sharded_msm_program(ops, mesh, X, Y, z, nwin: int):
+@partial(jax.jit, static_argnums=(0, 1, 5, 6))
+def sharded_msm_program(ops, mesh, X, Y, z, nwin: int, wgroup: int = 1):
     """MSM with the point/scalar lane axis sharded over `mesh` axis 'msm'.
 
     Each device: local Straus window sums over its lane shard (the O(B)
@@ -252,7 +265,7 @@ def sharded_msm_program(ops, mesh, X, Y, z, nwin: int):
         check_rep=False,
     )
     def run(Xl, Yl, zl):
-        S = window_sums(ops, Xl, Yl, zl, nwin)  # coords (W, ..., n, 1)
+        S = window_sums(ops, Xl, Yl, zl, nwin, wgroup)  # coords (W, ..., n, 1)
         Sg = jax.tree.map(
             lambda c: lax.all_gather(c, "msm", axis=c.ndim - 1, tiled=True), S
         )  # (W, ..., n, D)

@@ -138,15 +138,24 @@ def check(pp: UniversalParams, comm: Commitment, z: int, v: int, proof: OpeningP
     return one == type(one).one()
 
 
-def check_degree_bound(pp: UniversalParams, comm: Commitment) -> bool:
-    """Shifted-commitment consistency: e(C_shifted, H) == e(C, beta^(D-d) H).
+def check_degree_bound(
+    pp: UniversalParams, comm: Commitment, z: int, v: int, v_shifted: int
+) -> bool:
+    """Degree-bound check at an opened point.
 
-    With a two-term SRS in G2 we instead verify via the opening relation at
-    a random point; for the framework's Marlin verifier the bound is checked
-    through the combined opening equation (see snark.marlin), so this
-    standalone check recomputes the shift on the G1 side host-side.
+    With a two-term G2 SRS (H, beta*H) the bound cannot be checked from the
+    commitment pair alone; the MarlinKZG10 protocol checks it through
+    evaluations instead: if deg(p) <= d then the shifted polynomial is
+    exactly X^(D-d) * p, so its opened value at z must equal v * z^(D-d).
+    Callers must ALSO verify both openings (check / batch_check_same_point)
+    at the same point — this is precisely what snark.marlin.verify does for
+    g_1/g_2 (the "degree-bound consistency" step).
     """
-    return comm.shifted is not None
+    if comm.shifted is None or comm.degree_bound is None:
+        return False
+    cfg = pairing_config(pp.curve)
+    r = cfg.r
+    return v_shifted % r == v * pow(z % r, pp.max_degree - comm.degree_bound, r) % r
 
 
 def batch_check_same_point(

@@ -166,6 +166,17 @@ class Groth16KeysLM:
         self.B2g, self.B2b = B2g, B2b
         self.b_gen_cols, self.b_bool_cols = b_gen, b_boo
 
+        # window-group factors: target ~128k effective lanes in the window
+        # reductions (the mont_mul saturation point); W=64 divides by <=8
+        def wg(lead_lanes: int) -> int:
+            g = 1
+            while g < 8 and lead_lanes * g < (1 << 17) and self.nwin % (g * 2) == 0:
+                g *= 2
+            return g
+
+        self.wgroup_g1 = wg(4 * M)
+        self.wgroup_g2 = wg(B2g)
+
 
 def _z_rows16(cs: ConstraintSystem, fr: dv.FieldSpec) -> np.ndarray:
     """Witness vector as (n_limbs16, n_vars) canonical u32 planes."""
@@ -208,7 +219,10 @@ def warm(keys: Groth16KeysLM, verbose: bool = False):
     def j_g1x4():
         z = jnp.zeros((4, fr.n, M), jnp.uint32)
         jax.block_until_ready(
-            straus.msm_program(keys.ops1, zlike(keys.g1_X), zlike(keys.g1_Y), z, keys.nwin)
+            straus.msm_program(
+                keys.ops1, zlike(keys.g1_X), zlike(keys.g1_Y), z, keys.nwin,
+                keys.wgroup_g1,
+            )
         )
 
     def j_g1b():
@@ -220,7 +234,10 @@ def warm(keys: Groth16KeysLM, verbose: bool = False):
     def j_g2():
         z = jnp.zeros((fr.n, keys.B2g), jnp.uint32)
         jax.block_until_ready(
-            straus.msm_program(keys.ops2, zlike(keys.g2_X), zlike(keys.g2_Y), z, keys.nwin)
+            straus.msm_program(
+                keys.ops2, zlike(keys.g2_X), zlike(keys.g2_Y), z, keys.nwin,
+                keys.wgroup_g2,
+            )
         )
 
     def j_g2b():
@@ -311,18 +328,18 @@ def prove(keys: Groth16KeysLM, cs: ConstraintSystem, rng=None, mesh=None) -> "gr
         )
 
     if mesh is None:
-        run_msm = lambda ops, X, Y, z: straus.msm_program(ops, X, Y, z, keys.nwin)
+        run_msm = lambda ops, X, Y, z, wg: straus.msm_program(ops, X, Y, z, keys.nwin, wg)
         run_bool = straus.bool_msm_program
     else:
-        run_msm = lambda ops, X, Y, z: straus.sharded_msm_program(
-            ops, mesh, X, Y, z, keys.nwin
+        run_msm = lambda ops, X, Y, z, wg: straus.sharded_msm_program(
+            ops, mesh, X, Y, z, keys.nwin, wg
         )
         run_bool = lambda ops, X, Y, m: straus.sharded_bool_msm_program(
             ops, mesh, X, Y, m
         )
 
     with prof.phase("msm_g1x4"):
-        out4 = run_msm(keys.ops1, keys.g1_X, keys.g1_Y, z4)
+        out4 = run_msm(keys.ops1, keys.g1_X, keys.g1_Y, z4, keys.wgroup_g1)
         g1_pts = [
             straus.projective_to_host(
                 None, g1, tuple(straus._row(c, i) for c in out4)
@@ -337,7 +354,7 @@ def prove(keys: Groth16KeysLM, cs: ConstraintSystem, rng=None, mesh=None) -> "gr
             for i in range(3)
         )
     with prof.phase("msm_b2"):
-        out2 = run_msm(keys.ops2, keys.g2_X, keys.g2_Y, z2)
+        out2 = run_msm(keys.ops2, keys.g2_X, keys.g2_Y, z2, keys.wgroup_g2)
         b2_gen = straus.projective_to_host(None, g2, out2)
         out2b = run_bool(keys.ops2, keys.g2b_X, keys.g2b_Y, b2mask)
         b2_boo = straus.projective_to_host(None, g2, out2b)
