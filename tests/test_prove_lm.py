@@ -131,3 +131,30 @@ def test_checkpoint_round_trip_proves(tmp_path):
     keys = prove_lm.Groth16KeysLM(pk2, cs)
     proof = prove_lm.prove(keys, cs, rng=rng)
     assert groth16.verify(pk2.vk, [out_val], proof)
+
+
+def test_synthetic_depth_path_satisfies():
+    """app.scale's synthetic deep path produces a satisfiable circuit (the
+    depth-32 scale config runs the same code at depth 3 here)."""
+    from zkmember_tpu.app import scale
+
+    rng = frng.test_rng()
+    from zkmember_tpu.app import circuits as app
+
+    cfg = app.get_config("pedersen381")
+    leaf_params, node_params = cfg.setup_params(rng)
+    root, leaf_digest, path = scale.synthetic_path(cfg, leaf_params, node_params, 3)
+    circuit = app.MerkleTreeCircuit(
+        config=cfg, leaf_params=leaf_params, node_params=node_params,
+        root=root, leaf_hash=leaf_digest, authentication_path=path,
+    )
+    cs = circuit.generate_constraints()
+    assert cs.is_satisfied()
+    # tampered root must NOT satisfy
+    bad = app.MerkleTreeCircuit(
+        config=cfg, leaf_params=leaf_params, node_params=node_params,
+        root=(root + 1) % cfg.scalar_field.p, leaf_hash=leaf_digest,
+        authentication_path=path,
+    )
+    cs2 = bad.generate_constraints()
+    assert not cs2.is_satisfied()
