@@ -158,3 +158,42 @@ def test_synthetic_depth_path_satisfies():
     )
     cs2 = bad.generate_constraints()
     assert not cs2.is_satisfied()
+
+
+def test_membership_16_from_checkpoint():
+    """REAL membership-circuit e2e in default CI: rebuilds the 16-member
+    registrar deterministically, loads the committed proving-key artifact
+    (artifacts/groth16_bls12_381_16), proves with the v2 stack and verifies
+    (+ wrong-leaf rejection).  Skips only if the artifact is absent."""
+    import os
+    import random as pyrandom
+
+    from zkmember_tpu.app import circuits as app
+    from zkmember_tpu.app.member import generate_members
+    from zkmember_tpu.utils import checkpoint
+
+    ck = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts", "groth16_bls12_381_16",
+    )
+    if not os.path.exists(ck + ".json"):
+        pytest.skip("checkpoint artifact not present")
+
+    rng = frng.test_rng()
+    cfg = app.get_config("pedersen381")
+    leaf_params, node_params = cfg.setup_params(rng)
+    ms = generate_members(16)
+    digests = [m.hash(leaf_params) for m in ms]
+    tree = app.new_membership_tree(leaf_params, node_params, digests)
+    idx = pyrandom.Random(0).randrange(16)
+    circuit = app.MerkleTreeCircuit(
+        config=cfg, leaf_params=leaf_params, node_params=node_params,
+        root=tree.root(), leaf_hash=digests[idx],
+        authentication_path=tree.generate_proof(idx),
+    )
+    cs = circuit.generate_constraints()
+    pk = checkpoint.load_groth16_keys(ck, device=False)
+    keys = prove_lm.Groth16KeysLM(pk, cs)
+    proof = prove_lm.prove(keys, cs, rng=rng)
+    assert groth16.verify(pk.vk, [tree.root(), digests[idx]], proof)
+    assert not groth16.verify(pk.vk, [tree.root(), digests[(idx + 1) % 16]], proof)

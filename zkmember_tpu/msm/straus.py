@@ -16,11 +16,12 @@ the w-th 4-bit digit of s_i.  Per window: a 16-way one-hot select (pure
 lane-local mask-adds) + one lane-axis tree reduction.  Cost at B points:
 14B (table) + W*B (window reductions) complete adds, W = ceil(bits/4).
 
-Boolean scalars (the dominant class in Pedersen-circuit witnesses — most
-witness variables are bit decompositions) skip the window machinery: one
+Boolean scalars (~17% of the membership-circuit witness: bit
+decompositions and path-direction bits) skip the window machinery: one
 masked select + a single tree reduction (B adds total).  The bool/general
 split is STATIC per circuit (gadget structure), so the proving key carries
-a class bitmap and no per-proof classification or compaction is needed.
+the class partition and no per-proof classification or compaction is
+needed.
 
 All kernels take runtime-input planes (points, digits, masks), so ONE
 compiled program per (curve, B, W) shape serves every query of a proof.

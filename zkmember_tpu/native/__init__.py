@@ -73,8 +73,15 @@ def _load():
         lib.zk_batch_inv.argtypes = [ctypes.c_int, i64, u64p, u64p, u64p, u64, u64p, u8p, i64]
         lib.zk_mont_pow.argtypes = [ctypes.c_int, i64, u64p, u8p, i64, u64p, u64p, u64, u64p]
         lib.zk_geom_seq.argtypes = [ctypes.c_int, i64, u64p, u64p, u64p, u64p, u64]
+        lib.zk_add_mod.argtypes = [ctypes.c_int, i64, u64p, u64p, u64p, u64p]
+        lib.zk_sub_mod.argtypes = [ctypes.c_int, i64, u64p, u64p, u64p, u64p]
+        lib.zk_rsub_const.argtypes = [ctypes.c_int, i64, u64p, u64p, u64p, u64p]
+        lib.zk_mul_const_add.argtypes = [ctypes.c_int, i64, u64p, u64p, u64p, u64p, u64]
+        lib.zk_synth_div.argtypes = [ctypes.c_int, i64, u64p, u64p, u64p, u64p, u64p, u64]
         for f in ("zk_mont_mul", "zk_mont_mul_const", "zk_csr_matvec",
-                  "zk_batch_inv", "zk_mont_pow", "zk_geom_seq"):
+                  "zk_batch_inv", "zk_mont_pow", "zk_geom_seq", "zk_add_mod",
+                  "zk_sub_mod", "zk_rsub_const", "zk_mul_const_add",
+                  "zk_synth_div"):
             getattr(lib, f).restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -221,6 +228,67 @@ class NativeField:
             _ptr(out, ctypes.c_uint64), _ptr(self.p64, ctypes.c_uint64), self.inv64)
         assert rc == 0
         return out
+
+    def add(self, a, b):
+        lib = _load()
+        a = np.ascontiguousarray(a, "<u8")
+        b = np.ascontiguousarray(b, "<u8")
+        out = np.empty_like(a)
+        rc = lib.zk_add_mod(
+            self.nl, a.shape[0], _ptr(a, ctypes.c_uint64), _ptr(b, ctypes.c_uint64),
+            _ptr(out, ctypes.c_uint64), _ptr(self.p64, ctypes.c_uint64))
+        assert rc == 0
+        return out
+
+    def sub(self, a, b):
+        lib = _load()
+        a = np.ascontiguousarray(a, "<u8")
+        b = np.ascontiguousarray(b, "<u8")
+        out = np.empty_like(a)
+        rc = lib.zk_sub_mod(
+            self.nl, a.shape[0], _ptr(a, ctypes.c_uint64), _ptr(b, ctypes.c_uint64),
+            _ptr(out, ctypes.c_uint64), _ptr(self.p64, ctypes.c_uint64))
+        assert rc == 0
+        return out
+
+    def rsub_const(self, a, c64):
+        """out[i] = c - a[i] (the Marlin (alpha - row_M) shape)."""
+        lib = _load()
+        a = np.ascontiguousarray(a, "<u8")
+        c = np.ascontiguousarray(c64, "<u8")
+        out = np.empty_like(a)
+        rc = lib.zk_rsub_const(
+            self.nl, a.shape[0], _ptr(a, ctypes.c_uint64), _ptr(c, ctypes.c_uint64),
+            _ptr(out, ctypes.c_uint64), _ptr(self.p64, ctypes.c_uint64))
+        assert rc == 0
+        return out
+
+    def mul_const_add(self, acc, a, c64):
+        """acc[i] += c * a[i] in place (returns acc)."""
+        lib = _load()
+        acc = np.ascontiguousarray(acc, "<u8")
+        a = np.ascontiguousarray(a, "<u8")
+        c = np.ascontiguousarray(c64, "<u8")
+        rc = lib.zk_mul_const_add(
+            self.nl, a.shape[0], _ptr(a, ctypes.c_uint64), _ptr(c, ctypes.c_uint64),
+            _ptr(acc, ctypes.c_uint64), _ptr(self.p64, ctypes.c_uint64), self.inv64)
+        assert rc == 0
+        return acc
+
+    def synth_div(self, f_mont, z64):
+        """f -> (q, rem=f(z)): synthetic division by (X - z), Montgomery."""
+        lib = _load()
+        f = np.ascontiguousarray(f_mont, "<u8")
+        z = np.ascontiguousarray(z64, "<u8")
+        n = f.shape[0]
+        q = np.zeros((max(n - 1, 1), self.nl), "<u8")
+        rem = np.empty((self.nl,), "<u8")
+        rc = lib.zk_synth_div(
+            self.nl, n, _ptr(f, ctypes.c_uint64), _ptr(z, ctypes.c_uint64),
+            _ptr(q, ctypes.c_uint64), _ptr(rem, ctypes.c_uint64),
+            _ptr(self.p64, ctypes.c_uint64), self.inv64)
+        assert rc == 0
+        return q, rem
 
     # -- int-list conveniences ---------------------------------------------
     def mont64_of_int(self, v: int) -> np.ndarray:

@@ -242,6 +242,67 @@ void geom_seq(i64 count, const u64 *base, const u64 *scale, u64 *out,
     mont_mul<NL>(out + i * NL, out + (i - 1) * NL, base, p, inv);
 }
 
+template <int NL>
+void add_batch(i64 count, const u64 *a, const u64 *b, u64 *out, const u64 *p) {
+  par_for(count, [&](i64 lo, i64 hi) {
+    for (i64 i = lo; i < hi; ++i)
+      add_mod<NL>(out + i * NL, a + i * NL, b + i * NL, p);
+  });
+}
+
+template <int NL>
+void sub_batch(i64 count, const u64 *a, const u64 *b, u64 *out, const u64 *p) {
+  par_for(count, [&](i64 lo, i64 hi) {
+    for (i64 i = lo; i < hi; ++i)
+      sub_mod<NL>(out + i * NL, a + i * NL, b + i * NL, p);
+  });
+}
+
+// out[i] = c - a[i]  (constant minus array; the Marlin (alpha - row) shape)
+template <int NL>
+void rsub_const_batch(i64 count, const u64 *a, const u64 *c, u64 *out,
+                      const u64 *p) {
+  par_for(count, [&](i64 lo, i64 hi) {
+    for (i64 i = lo; i < hi; ++i)
+      sub_mod<NL>(out + i * NL, c, a + i * NL, p);
+  });
+}
+
+// acc[i] += c * a[i]  (Montgomery) — the batched-opening quotient combiner.
+template <int NL>
+void mul_const_add_batch(i64 count, const u64 *a, const u64 *c, u64 *acc,
+                         const u64 *p, u64 inv) {
+  par_for(count, [&](i64 lo, i64 hi) {
+    u64 prod[NL];
+    for (i64 i = lo; i < hi; ++i) {
+      mont_mul<NL>(prod, a + i * NL, c, p, inv);
+      add_mod<NL>(acc + i * NL, acc + i * NL, prod, p);
+    }
+  });
+}
+
+// Synthetic division by (X - z): f (n coeffs, Montgomery) ->
+// q (n-1 coeffs) with f = q*(X-z) + rem, rem = f(z).  Sequential Horner
+// (the per-coefficient Python loop was the Marlin batched-opening hotspot
+// at 2^20 coefficients).
+template <int NL>
+void synth_div(i64 n, const u64 *f, const u64 *z, u64 *q, u64 *rem,
+               const u64 *p, u64 inv) {
+  u64 acc[NL];
+  std::memset(acc, 0, sizeof(acc));
+  for (i64 i = n - 1; i >= 1; --i) {
+    u64 t[NL];
+    mont_mul<NL>(t, acc, z, p, inv);
+    add_mod<NL>(t, t, f + i * NL, p);  // q[i-1] = f[i] + z*q[i]
+    std::memcpy(q + (i - 1) * NL, t, sizeof(t));
+    std::memcpy(acc, t, sizeof(t));
+  }
+  u64 t[NL];
+  mont_mul<NL>(t, acc, z, p, inv);
+  add_mod<NL>(t, t, f, p);  // rem = f[0] + z*q[0]
+  std::memcpy(rem, t, NL * sizeof(u64));
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -291,6 +352,31 @@ int zk_mont_pow(int nl, i64 count, const u64 *a, const std::uint8_t *ebits,
 int zk_geom_seq(int nl, i64 count, const u64 *base, const u64 *scale, u64 *out,
                 const u64 *p, u64 inv) {
   DISPATCH(geom_seq, count, base, scale, out, p, inv)
+}
+
+int zk_add_mod(int nl, i64 count, const u64 *a, const u64 *b, u64 *out,
+               const u64 *p) {
+  DISPATCH(add_batch, count, a, b, out, p)
+}
+
+int zk_sub_mod(int nl, i64 count, const u64 *a, const u64 *b, u64 *out,
+               const u64 *p) {
+  DISPATCH(sub_batch, count, a, b, out, p)
+}
+
+int zk_rsub_const(int nl, i64 count, const u64 *a, const u64 *c, u64 *out,
+                  const u64 *p) {
+  DISPATCH(rsub_const_batch, count, a, c, out, p)
+}
+
+int zk_mul_const_add(int nl, i64 count, const u64 *a, const u64 *c, u64 *acc,
+                     const u64 *p, u64 inv) {
+  DISPATCH(mul_const_add_batch, count, a, c, acc, p, inv)
+}
+
+int zk_synth_div(int nl, i64 n, const u64 *f, const u64 *z, u64 *q, u64 *rem,
+                 const u64 *p, u64 inv) {
+  DISPATCH(synth_div, n, f, z, q, rem, p, inv)
 }
 
 }  // extern "C"

@@ -38,6 +38,7 @@ class UniversalParams:
     h: tuple  # G2
     beta_h: tuple  # beta G2
     g: tuple  # G1 generator
+    powers_lm: tuple | None = None  # lazily-built limb-major (X, Y) planes
 
 
 @dataclass
@@ -75,13 +76,69 @@ def setup(max_degree: int, curve: str = "bls12_381", rng=None) -> UniversalParam
     )
 
 
-def _msm_powers(pp: UniversalParams, coeffs: list[int], offset: int = 0):
-    """sum_i coeffs[i] * beta^(offset+i) G via the device MSM."""
+_MSM_CHUNK = 1 << 18  # max lanes per compiled Straus program
+
+
+def _powers_lm(pp: UniversalParams):
+    """Device-resident limb-major SRS planes (built once per pp)."""
+    if pp.powers_lm is None:
+        import jax.numpy as jnp
+
+        X = jnp.swapaxes(pp.powers.x, -1, -2)
+        Y = jnp.swapaxes(pp.powers.y, -1, -2)
+        pp.powers_lm = (X, Y)
+    return pp.powers_lm
+
+
+def _msm_powers(pp: UniversalParams, coeffs, offset: int = 0):
+    """sum_i coeffs[i] * beta^(offset+i) G via the limb-major Straus MSM.
+
+    coeffs: list[int] (canonical) OR (n, nl) u64 Montgomery rows (the
+    native fast path used by Marlin's row pipeline).  Chunked to
+    _MSM_CHUNK lanes so one compiled program serves arbitrary degrees."""
+    import jax.numpy as jnp
+
+    from zkmember_tpu import native as zknative
+    from zkmember_tpu.fields import lm
+    from zkmember_tpu.msm import straus
+    from zkmember_tpu.snark.prove_lm import _sw_ops_lm
+
     cfg = pairing_config(pp.curve)
-    n = len(coeffs)
+    r = cfg.r
+    fr = cfg.fr_spec
+    if isinstance(coeffs, np.ndarray):
+        nf = zknative.NativeField.get(fr.p, fr.n)
+        rows = nf.from_mont(coeffs)  # canonical u64 rows
+    else:
+        rows = zknative.ints_to_u64([int(c) % r for c in coeffs], (fr.n + 3) // 4)
+    n = rows.shape[0]
     assert offset + n <= pp.max_degree + 1
-    sub = pp.powers.take(np.arange(offset, offset + n, dtype=np.int64))
-    return msmmod.msm(sub, coeffs, cfg.r)
+    planes = zknative.u64_to_u16_planes(rows)[:, : fr.n]  # (n, n16)
+    ops = _sw_ops_lm(cfg, g2=False)
+    nwin = (r.bit_length() + straus.WINDOW_BITS - 1) // straus.WINDOW_BITS
+    X, Y = _powers_lm(pp)
+    curve = cfg.mod.G1
+    acc = None
+    s = 0
+    while s < n:
+        e = min(s + _MSM_CHUNK, n)
+        width = 1 << max(0, (e - s - 1).bit_length())
+        Xc = X[..., offset + s : offset + e]
+        Yc = Y[..., offset + s : offset + e]
+        if e - s < width:
+            pad = [(0, 0), (0, width - (e - s))]
+            Xc = jnp.pad(Xc, pad)
+            Yc = jnp.pad(Yc, pad)
+        zc = np.zeros((fr.n, width), np.uint32)
+        zc[:, : e - s] = planes[s:e].T
+        wg = 1
+        while wg < 8 and width * wg < (1 << 17) and nwin % (wg * 2) == 0:
+            wg *= 2
+        out = straus.msm_program(ops, Xc, Yc, jnp.asarray(zc), nwin, wg)
+        part = straus.projective_to_host(None, curve, out)
+        acc = part if acc is None else curve.add(acc, part)
+        s = e
+    return acc
 
 
 def commit(pp: UniversalParams, coeffs: list[int], degree_bound: int | None = None) -> Commitment:

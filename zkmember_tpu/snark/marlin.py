@@ -60,19 +60,29 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, (x - 1).bit_length())
 
 
+def _int_to_u64_row(v: int, nl: int) -> np.ndarray:
+    return np.frombuffer(int(v).to_bytes(nl * 8, "little"), dtype="<u8").copy()
+
+
 # ---------------------------------------------------------------------------
 # polynomial transform engine: device NTT for big sizes, host for small
 # ---------------------------------------------------------------------------
 
 
 class PolyEngine:
-    """NTT dispatch: device limb-plane kernels above the size threshold."""
+    """NTT dispatch: device limb-major kernels above the size threshold,
+    with the host<->device conversions running through the native (C++)
+    Montgomery layer instead of per-element Python bignums — the
+    marshalling cost dominated Marlin at membership scale otherwise."""
 
     DEVICE_THRESHOLD = 1 << 11
 
     def __init__(self, spec: dv.FieldSpec):
         self.spec = spec
         self.p = spec.p
+        from zkmember_tpu import native as zknative
+
+        self.nf = zknative.NativeField.get(spec.p, spec.n)
 
     def _w(self, size: int) -> int:
         return pow(
@@ -81,21 +91,92 @@ class PolyEngine:
             self.p,
         )
 
+    # -- int list <-> Montgomery u64 rows (native fast path) ----------------
+    def to_rows(self, vals: list[int]) -> np.ndarray:
+        from zkmember_tpu import native as zknative
+
+        return self.nf.to_mont(zknative.ints_to_u64(vals, self.nf.nl))
+
+    def from_rows(self, rows: np.ndarray) -> list[int]:
+        return self.nf.mont_to_ints(rows)
+
+    def _device_fft(self, vals: list[int], size: int, inverse: bool) -> list[int]:
+        from zkmember_tpu import native as zknative
+        from zkmember_tpu.fields import lm
+        from zkmember_tpu.ntt import lm as nttlm
+
+        dlm = nttlm.DomainLM.get(self.spec, size)
+        rows = self.to_rows(vals)
+        x = lm.to_lm(zknative.u64_to_u16_planes(rows))  # (n, N) mont
+        tw = dlm.tw_inv if inverse else dlm.tw_fwd
+        out = nttlm.ntt(self.spec, x, tw, dlm.perm)
+        if inverse:
+            out = lm.mont_mul(self.spec, out, dlm.size_inv)
+        planes = lm.from_lm(out)
+        return self.from_rows(zknative.u16_planes_to_u64(planes))
+
     def ntt(self, coeffs: list[int], size: int) -> list[int]:
         vals = list(coeffs) + [0] * (size - len(coeffs))
-        if size >= self.DEVICE_THRESHOLD:
-            dom = nttmod.Domain.get(self.spec, size)
-            out = nttmod.ntt(dom, jnp.asarray(self.spec.to_mont_host(vals)))
-            return self.spec.from_mont_host(np.asarray(out))
+        if size >= self.DEVICE_THRESHOLD and self.nf is not None:
+            return self._device_fft(vals, size, inverse=False)
         return hp.host_ntt(vals, self._w(size), self.p)
 
     def intt(self, evals: list[int]) -> list[int]:
         size = len(evals)
-        if size >= self.DEVICE_THRESHOLD:
-            dom = nttmod.Domain.get(self.spec, size)
-            out = nttmod.intt(dom, jnp.asarray(self.spec.to_mont_host(evals)))
-            return self.spec.from_mont_host(np.asarray(out))
+        if size >= self.DEVICE_THRESHOLD and self.nf is not None:
+            return self._device_fft(list(evals), size, inverse=True)
         return hp.host_intt(evals, self._w(size), self.p)
+
+    # -- row-based transforms (Montgomery u64 rows in/out, no int lists) ----
+    def _fft_rows(self, rows: np.ndarray, size: int, inverse: bool) -> np.ndarray:
+        from zkmember_tpu import native as zknative
+        from zkmember_tpu.fields import lm
+        from zkmember_tpu.ntt import lm as nttlm
+
+        n = rows.shape[0]
+        if n < size:
+            rows = np.concatenate(
+                [rows, np.zeros((size - n, self.nf.nl), "<u8")]
+            )
+        if size >= self.DEVICE_THRESHOLD:
+            dlm = nttlm.DomainLM.get(self.spec, size)
+            x = lm.to_lm(zknative.u64_to_u16_planes(rows))
+            tw = dlm.tw_inv if inverse else dlm.tw_fwd
+            out = nttlm.ntt(self.spec, x, tw, dlm.perm)
+            if inverse:
+                out = lm.mont_mul(self.spec, out, dlm.size_inv)
+            return zknative.u16_planes_to_u64(lm.from_lm(out))
+        vals = self.from_rows(rows)
+        w = self._w(size)
+        out = hp.host_intt(vals, w, self.p) if inverse else hp.host_ntt(vals, w, self.p)
+        return self.to_rows(out)
+
+    def ntt_rows(self, rows: np.ndarray, size: int) -> np.ndarray:
+        return self._fft_rows(rows, size, inverse=False)
+
+    def intt_rows(self, rows: np.ndarray) -> np.ndarray:
+        return self._fft_rows(rows, rows.shape[0], inverse=True)
+
+    def coset_ntt_rows(self, rows: np.ndarray, size: int) -> np.ndarray:
+        """Evaluations over g*H: scale row i by g^i then NTT (native scale)."""
+        nf = self.nf
+        n = rows.shape[0]
+        if n < size:
+            rows = np.concatenate([rows, np.zeros((size - n, nf.nl), "<u8")])
+        gm = nf.to_mont(
+            np.asarray([_int_to_u64_row(self.spec.mult_gen, nf.nl)])
+        )[0]
+        pw = nf.geom_seq(size, gm, nf.one_mont64)
+        return self.ntt_rows(nf.mont_mul(rows, pw), size)
+
+    def coset_intt_rows(self, rows: np.ndarray) -> np.ndarray:
+        nf = self.nf
+        size = rows.shape[0]
+        out = self.intt_rows(rows)
+        ginv = pow(self.spec.mult_gen, -1, self.p)
+        gm = nf.to_mont(np.asarray([_int_to_u64_row(ginv, nf.nl)]))[0]
+        pw = nf.geom_seq(size, gm, nf.one_mont64)
+        return nf.mont_mul(out, pw)
 
 
 # ---------------------------------------------------------------------------
@@ -356,29 +437,45 @@ def prove(ipk: IndexProverKey, cs: ConstraintSystem, rng=None) -> MarlinProof:
             t_evals[pos] = (t_evals[pos] + e_m * r_alpha_h[j % n_h] % p * c) % p
     t_hat = engine.intt(t_evals)
 
-    # q_1 on a 4n coset: evaluate everything there
+    # q_1 on a 4n domain: evaluate everything there
+    # NOTE: plain (non-coset) NTT of size 4n is fine: we only need ANY 4n
+    # evaluation points to recover the degree <= 3n polynomial q_1.
     big = 4 * n_h
     r_alpha_coeffs = [pow(alpha, n_h - 1 - k, p) for k in range(n_h)]  # r(alpha, X)
-    ev = {
-        "za": engine.ntt(za_hat, big),
-        "zb": engine.ntt(zb_hat, big),
-        "z": engine.ntt(z_hat, big),
-        "t": engine.ntt(t_hat, big),
-        "ra": engine.ntt(r_alpha_coeffs, big),
-    }
-    # NOTE: plain (non-coset) NTT of size 4n is fine: we only need ANY 4n
-    # evaluation points to recover the degree <= 3n-3 polynomial q_1.
-    q1_ev = [
-        (
-            ev["ra"][i]
-            * ((eta["A"] * ev["za"][i] + eta["B"] * ev["zb"][i]
-                + eta["C"] * ev["za"][i] * ev["zb"][i]) % p)
-            - ev["t"][i] * ev["z"][i]
+    nf0 = engine.nf
+    if nf0 is not None:
+        za_e = engine.ntt_rows(engine.to_rows(za_hat), big)
+        zb_e = engine.ntt_rows(engine.to_rows(zb_hat), big)
+        z_e = engine.ntt_rows(engine.to_rows(z_hat), big)
+        t_e = engine.ntt_rows(engine.to_rows(t_hat), big)
+        ra_e = engine.ntt_rows(engine.to_rows(r_alpha_coeffs), big)
+        comb = np.zeros((big, nf0.nl), "<u8")
+        comb = nf0.mul_const_add(comb, za_e, nf0.ints_to_mont([eta["A"]])[0])
+        comb = nf0.mul_const_add(comb, zb_e, nf0.ints_to_mont([eta["B"]])[0])
+        comb = nf0.mul_const_add(
+            comb, nf0.mont_mul(za_e, zb_e), nf0.ints_to_mont([eta["C"]])[0]
         )
-        % p
-        for i in range(big)
-    ]
-    q1 = hp.trim(engine.intt(q1_ev))
+        q1_rows = nf0.sub(nf0.mont_mul(ra_e, comb), nf0.mont_mul(t_e, z_e))
+        q1 = hp.trim(engine.from_rows(engine.intt_rows(q1_rows)))
+    else:
+        ev = {
+            "za": engine.ntt(za_hat, big),
+            "zb": engine.ntt(zb_hat, big),
+            "z": engine.ntt(z_hat, big),
+            "t": engine.ntt(t_hat, big),
+            "ra": engine.ntt(r_alpha_coeffs, big),
+        }
+        q1_ev = [
+            (
+                ev["ra"][i]
+                * ((eta["A"] * ev["za"][i] + eta["B"] * ev["zb"][i]
+                    + eta["C"] * ev["za"][i] * ev["zb"][i]) % p)
+                - ev["t"][i] * ev["z"][i]
+            )
+            % p
+            for i in range(big)
+        ]
+        q1 = hp.trim(engine.intt(q1_ev))
     h1, rem = hp.divide_by_vanishing(q1, n_h, p)
     rem = hp.trim(rem)
     assert not rem or rem[0] == 0, "outer sumcheck: sum over H != 0"
@@ -392,27 +489,48 @@ def prove(ipk: IndexProverKey, cs: ConstraintSystem, rng=None) -> MarlinProof:
 
     # --- inner sumcheck -----------------------------------------------------
     v_h_beta1 = (pow(beta1, n_h, p) - 1) % p
-    row_ev, col_ev, valhat_ev = {}, {}, {}
-    w_k = pow(spec.two_adic_root, (1 << spec.two_adicity) // n_k, p)
-    for name in ("A", "B", "C"):
-        row_c, col_c, valhat_c = ipk.matrix_polys[name]
-        row_ev[name] = engine.ntt(row_c, n_k)
-        col_ev[name] = engine.ntt(col_c, n_k)
-        valhat_ev[name] = engine.ntt(valhat_c, n_k)
-
-    f_ev = [0] * n_k
     vv = v_h_alpha * v_h_beta1 % p
-    for name in ("A", "B", "C"):
-        dens = [
-            (alpha - row_ev[name][k]) * (beta1 - col_ev[name][k]) % p
-            for k in range(n_k)
-        ]
-        dinv = hp.batch_inverse(dens, p)
-        e_m = eta[name]
-        for k in range(n_k):
-            f_ev[k] = (f_ev[k] + e_m * vv % p * valhat_ev[name][k] % p * dinv[k]) % p
-    sigma3 = sum(f_ev) % p
-    f_hat = engine.intt(f_ev)
+    nf = engine.nf
+    if nf is not None:
+        # native rows: dens = (alpha - row)(beta1 - col) per matrix, one
+        # batched inverse, eta*vv-weighted accumulate
+        alpha_m = nf.ints_to_mont([alpha])[0]
+        beta1_m = nf.ints_to_mont([beta1])[0]
+        f_rows = np.zeros((n_k, nf.nl), "<u8")
+        for name in ("A", "B", "C"):
+            row_c, col_c, valhat_c = ipk.matrix_polys[name]
+            re = engine.ntt_rows(engine.to_rows(list(row_c)), n_k)
+            ce = engine.ntt_rows(engine.to_rows(list(col_c)), n_k)
+            ve = engine.ntt_rows(engine.to_rows(list(valhat_c)), n_k)
+            dens = nf.mont_mul(
+                nf.rsub_const(re, alpha_m), nf.rsub_const(ce, beta1_m)
+            )
+            dinv = nf.batch_inv(dens)
+            e_m = nf.ints_to_mont([eta[name] * vv % p])[0]
+            f_rows = nf.mul_const_add(f_rows, nf.mont_mul(ve, dinv), e_m)
+        f_ev = engine.from_rows(f_rows)
+        sigma3 = sum(f_ev) % p
+        f_hat = engine.from_rows(engine.intt_rows(f_rows))
+    else:
+        row_ev, col_ev, valhat_ev = {}, {}, {}
+        for name in ("A", "B", "C"):
+            row_c, col_c, valhat_c = ipk.matrix_polys[name]
+            row_ev[name] = engine.ntt(row_c, n_k)
+            col_ev[name] = engine.ntt(col_c, n_k)
+            valhat_ev[name] = engine.ntt(valhat_c, n_k)
+
+        f_ev = [0] * n_k
+        for name in ("A", "B", "C"):
+            dens = [
+                (alpha - row_ev[name][k]) * (beta1 - col_ev[name][k]) % p
+                for k in range(n_k)
+            ]
+            dinv = hp.batch_inverse(dens, p)
+            e_m = eta[name]
+            for k in range(n_k):
+                f_ev[k] = (f_ev[k] + e_m * vv % p * valhat_ev[name][k] % p * dinv[k]) % p
+        sigma3 = sum(f_ev) % p
+        f_hat = engine.intt(f_ev)
     assert f_hat[0] == sigma3 * pow(n_k, -1, p) % p
     g2 = hp.trim(f_hat[1:]) or [0]
 
@@ -445,38 +563,81 @@ def _finish_prove(
     big_k = 8 * n_k
     g = spec.mult_gen
 
-    def coset_ntt_host(coeffs, size):
-        scaled = [c * pow(g, i, p) % p for i, c in enumerate(coeffs + [0] * (size - len(coeffs)))]
-        return engine.ntt(scaled, size)
+    nf = engine.nf
+    if nf is not None:
+        # -- native/device fast path: everything as Montgomery u64 rows ----
+        # (the 8*n_K Python bignum loop below was the membership-scale
+        # Marlin killer — VERDICT round-3 item 4)
+        def cos(coeffs):
+            return engine.coset_ntt_rows(engine.to_rows(list(coeffs)), big_k)
 
-    def coset_intt_host(evals):
-        size = len(evals)
-        coeffs = engine.intt(evals)
-        ginv = pow(g, -1, p)
-        return [c * pow(ginv, i, p) % p for i, c in enumerate(coeffs)]
-
-    rce = {n: coset_ntt_host(list(ipk.matrix_polys[n][0]), big_k) for n in ("A", "B", "C")}
-    cce = {n: coset_ntt_host(list(ipk.matrix_polys[n][1]), big_k) for n in ("A", "B", "C")}
-    vce = {n: coset_ntt_host(list(ipk.matrix_polys[n][2]), big_k) for n in ("A", "B", "C")}
-    f_big = coset_ntt_host(list(f_hat), big_k)
-    w_bigk = pow(spec.two_adic_root, (1 << spec.two_adicity) // big_k, p)
-    vk_cycle = [(pow(g, n_k, p) * pow(w_bigk, i * n_k, p) - 1) % p for i in range(8)]
-    vk_inv = hp.batch_inverse(vk_cycle, p)
-    h2_ev = [0] * big_k
-    for i in range(big_k):
+        rce = {n: cos(ipk.matrix_polys[n][0]) for n in ("A", "B", "C")}
+        cce = {n: cos(ipk.matrix_polys[n][1]) for n in ("A", "B", "C")}
+        vce = {n: cos(ipk.matrix_polys[n][2]) for n in ("A", "B", "C")}
+        f_big = cos(f_hat)
+        w_bigk = pow(spec.two_adic_root, (1 << spec.two_adicity) // big_k, p)
+        vk_cycle = [
+            (pow(g, n_k, p) * pow(w_bigk, i * n_k, p) - 1) % p for i in range(8)
+        ]
+        vk_inv_rows = nf.batch_inv(nf.ints_to_mont(vk_cycle))
+        vk_inv_big = np.tile(vk_inv_rows, (big_k // 8, 1))
+        alpha_m = nf.ints_to_mont([alpha])[0]
+        beta1_m = nf.ints_to_mont([beta1])[0]
         b_m = {}
         for n in ("A", "B", "C"):
-            b_m[n] = (alpha - rce[n][i]) * (beta1 - cce[n][i]) % p
-        b_all = b_m["A"] * b_m["B"] % p * b_m["C"] % p
-        a_val = 0
+            b_m[n] = nf.mont_mul(
+                nf.rsub_const(rce[n], alpha_m), nf.rsub_const(cce[n], beta1_m)
+            )
+        b_ab = nf.mont_mul(b_m["A"], b_m["B"])
+        b_all = nf.mont_mul(b_ab, b_m["C"])
+        others = {
+            "A": nf.mont_mul(b_m["B"], b_m["C"]),
+            "B": nf.mont_mul(b_m["A"], b_m["C"]),
+            "C": b_ab,
+        }
+        a_rows = np.zeros_like(b_all)
         for n in ("A", "B", "C"):
-            others = 1
-            for m in ("A", "B", "C"):
-                if m != n:
-                    others = others * b_m[m] % p
-            a_val = (a_val + eta[n] * vv % p * vce[n][i] % p * others) % p
-        h2_ev[i] = (a_val - b_all * f_big[i]) % p * vk_inv[i % 8] % p
-    h2 = hp.trim(coset_intt_host(h2_ev)) or [0]
+            ev = nf.ints_to_mont([eta[n] * vv % p])[0]
+            a_rows = nf.mul_const_add(
+                a_rows, nf.mont_mul(vce[n], others[n]), ev
+            )
+        h2_rows = nf.mont_mul(
+            nf.sub(a_rows, nf.mont_mul(b_all, f_big)), vk_inv_big
+        )
+        h2 = hp.trim(engine.from_rows(engine.coset_intt_rows(h2_rows))) or [0]
+    else:
+        def coset_ntt_host(coeffs, size):
+            scaled = [c * pow(g, i, p) % p for i, c in enumerate(coeffs + [0] * (size - len(coeffs)))]
+            return engine.ntt(scaled, size)
+
+        def coset_intt_host(evals):
+            size = len(evals)
+            coeffs = engine.intt(evals)
+            ginv = pow(g, -1, p)
+            return [c * pow(ginv, i, p) % p for i, c in enumerate(coeffs)]
+
+        rce = {n: coset_ntt_host(list(ipk.matrix_polys[n][0]), big_k) for n in ("A", "B", "C")}
+        cce = {n: coset_ntt_host(list(ipk.matrix_polys[n][1]), big_k) for n in ("A", "B", "C")}
+        vce = {n: coset_ntt_host(list(ipk.matrix_polys[n][2]), big_k) for n in ("A", "B", "C")}
+        f_big = coset_ntt_host(list(f_hat), big_k)
+        w_bigk = pow(spec.two_adic_root, (1 << spec.two_adicity) // big_k, p)
+        vk_cycle = [(pow(g, n_k, p) * pow(w_bigk, i * n_k, p) - 1) % p for i in range(8)]
+        vk_inv = hp.batch_inverse(vk_cycle, p)
+        h2_ev = [0] * big_k
+        for i in range(big_k):
+            b_m = {}
+            for n in ("A", "B", "C"):
+                b_m[n] = (alpha - rce[n][i]) * (beta1 - cce[n][i]) % p
+            b_all = b_m["A"] * b_m["B"] % p * b_m["C"] % p
+            a_val = 0
+            for n in ("A", "B", "C"):
+                others = 1
+                for m in ("A", "B", "C"):
+                    if m != n:
+                        others = others * b_m[m] % p
+                a_val = (a_val + eta[n] * vv % p * vce[n][i] % p * others) % p
+            h2_ev[i] = (a_val - b_all * f_big[i]) % p * vk_inv[i % 8] % p
+        h2 = hp.trim(coset_intt_host(h2_ev)) or [0]
 
     c_g2 = kzg.commit(pp, g2, degree_bound=n_k - 2)
     c_h2 = kzg.commit(pp, h2)
@@ -515,6 +676,29 @@ def _finish_prove(
         ]
 
     def batch_open(point, polys):
+        if nf is not None:
+            # native path: one synthetic division per polynomial (rem =
+            # evaluation), quotients combined with xi powers as u64 rows
+            rows_list, evals = [], {}
+            point_m = nf.ints_to_mont([point])[0]
+            for name, coeffs, _ in polys:
+                rows = engine.to_rows(list(coeffs))
+                q, rem = nf.synth_div(rows, point_m)
+                rows_list.append(q if len(coeffs) > 1 else None)
+                evals[name] = nf.mont_to_ints(rem.reshape(1, -1))[0]
+            for name in sorted(evals):
+                tr.absorb_int(evals[name], 48)
+            xi = tr.challenge(p)
+            maxlen = max((q.shape[0] for q in rows_list if q is not None), default=1)
+            acc = np.zeros((maxlen, nf.nl), "<u8")
+            x = 1
+            for q in rows_list:
+                if q is not None:
+                    xm = nf.ints_to_mont([x])[0]
+                    acc[: q.shape[0]] = nf.mul_const_add(acc[: q.shape[0]], q, xm)
+                x = x * xi % p
+            w = kzg._msm_powers(pp, acc)
+            return evals, kzg.OpeningProof(w=w), xi
         evals = {}
         for name, coeffs, _ in polys:
             evals[name] = hp.poly_eval(coeffs, point, p)
