@@ -57,15 +57,22 @@ def synthetic_path(cfg, leaf_params, node_params, depth: int, seed: int = 0):
     return node, leaf_digest, path
 
 
-def run_depth(depth: int = 32, checkpoint_dir: str | None = None, out=print):
+def run_depth(depth: int = 32, checkpoint_dir: str | None = None, out=print,
+              batch: int = 1):
+    """batch > 1 proves `batch` independent depth-`depth` memberships in ONE
+    circuit (BASELINE config 2: depth-32, batch of member proofs) — the
+    2^20-constraint scale shape at batch=8."""
+    from zkmember_tpu.r1cs.cs import ConstraintSystem
+    from zkmember_tpu.r1cs import gadgets as g
     from zkmember_tpu.snark import prove_lm
     from zkmember_tpu.utils import checkpoint
 
     t_all = time.time()
+    tag = f"depth{depth}" + (f"_batch{batch}" if batch > 1 else "")
 
     def row(phase, seconds, **kw):
         out(json.dumps({
-            "name": f"bls12_381_groth16_depth{depth}_{phase}",
+            "name": f"bls12_381_groth16_{tag}_{phase}",
             "seconds": round(seconds, 3),
             **kw,
         }))
@@ -73,24 +80,54 @@ def run_depth(depth: int = 32, checkpoint_dir: str | None = None, out=print):
     rng = frng.test_rng()
     cfg = app.get_config("pedersen381")
     leaf_params, node_params = cfg.setup_params(rng)
-    root, leaf_digest, path = synthetic_path(cfg, leaf_params, node_params, depth)
+    cases = [
+        synthetic_path(cfg, leaf_params, node_params, depth, seed=i)
+        for i in range(batch)
+    ]
 
     t0 = time.time()
-    circuit = app.MerkleTreeCircuit(
-        config=cfg,
-        leaf_params=leaf_params,
-        node_params=node_params,
-        root=root,
-        leaf_hash=leaf_digest,
-        authentication_path=path,
-    )
-    cs = circuit.generate_constraints()
-    assert cs.is_satisfied(), "synthetic path must satisfy the circuit"
+    if batch == 1:
+        root, leaf_digest, path = cases[0]
+        circuit = app.MerkleTreeCircuit(
+            config=cfg,
+            leaf_params=leaf_params,
+            node_params=node_params,
+            root=root,
+            leaf_hash=leaf_digest,
+            authentication_path=path,
+        )
+        cs = circuit.generate_constraints()
+        public_inputs = [root, leaf_digest]
+    else:
+        # one R1CS, `batch` independent membership sub-circuits
+        cs = ConstraintSystem(cfg.scalar_field)
+        io = []
+        for root, leaf_digest, path in cases:
+            io.append(g.FpVar.new_input(cs, root))
+            io.append(g.FpVar.new_input(cs, leaf_digest))
+        k = 0
+        for root, leaf_digest, path in cases:
+            root_v, leaf_v = io[k], io[k + 1]
+            k += 2
+            d = len(path.siblings)
+            index_bits = [
+                g.Boolean.new_witness(cs, (path.leaf_index >> i) & 1)
+                for i in range(d)
+            ]
+            sibling_vars = [g.FpVar.new_witness(cs, s) for s in path.siblings]
+            ok = g.merkle_path_gadget(
+                cs, leaf_params, node_params, root_v, leaf_v, index_bits,
+                sibling_vars,
+            )
+            ok.enforce_true()
+        public_inputs = [v for c in cases for v in (c[0], c[1])]
+    assert cs.is_satisfied(), "synthetic paths must satisfy the circuit"
     row("trace", time.time() - t0, constraints=cs.num_constraints,
         variables=cs.num_variables, booleans=len(cs.boolean_vars))
+    root, leaf_digest = cases[0][0], cases[0][1]
 
     ck = (
-        os.path.join(checkpoint_dir, f"groth16_bls12_381_depth{depth}")
+        os.path.join(checkpoint_dir, f"groth16_bls12_381_{tag}")
         if checkpoint_dir
         else None
     )
@@ -118,7 +155,7 @@ def run_depth(depth: int = 32, checkpoint_dir: str | None = None, out=print):
     row("prove", time.time() - t0)
 
     t0 = time.time()
-    ok = groth16.verify(vk, [root, leaf_digest], proof)
+    ok = groth16.verify(vk, public_inputs, proof)
     row("verify", time.time() - t0, verified=bool(ok))
     assert ok
     row("total", time.time() - t_all)
@@ -127,9 +164,10 @@ def run_depth(depth: int = 32, checkpoint_dir: str | None = None, out=print):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--depth", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--checkpoint-dir", default=None)
     args = ap.parse_args(argv)
-    run_depth(args.depth, args.checkpoint_dir)
+    run_depth(args.depth, args.checkpoint_dir, batch=args.batch)
     return 0
 
 

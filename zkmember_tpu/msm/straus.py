@@ -237,6 +237,31 @@ def msm_program(ops, X, Y, z, nwin: int, wgroup: int = 1):
     return msm_kernel(ops, X, Y, z, nwin, wgroup)
 
 
+def msm_program_chunked(ops, X, Y, z, nwin: int, wgroup: int = 1,
+                        max_lanes: int = 1 << 18):
+    """msm_program over lane chunks, combining partials on device.
+
+    The per-point table is 48x the point data (16 entries x 3 projective
+    coords); above ~2^18 lanes it no longer fits HBM alongside the key
+    planes, so wide MSMs run as lane slices whose single-point partials
+    are summed with a handful of complete adds."""
+    B = _lanes(X)
+    if B <= max_lanes:
+        return msm_program(ops, X, Y, z, nwin, wgroup)
+    assert B % max_lanes == 0
+    acc = None
+    for s in range(0, B, max_lanes):
+        sl = lambda c: _map_coord(lambda a: a[..., s : s + max_lanes], c)
+        part = msm_program(ops, sl(X), sl(Y), sl(z), nwin, wgroup)
+        acc = part if acc is None else _add_points_program(ops, acc, part)
+    return acc
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _add_points_program(ops, P, Q):
+    return cdv.swp_add(ops, P, Q)
+
+
 # ---------------------------------------------------------------------------
 # multi-chip sharding: points sharded across the mesh lane axis, per-window
 # partial sums all-gathered over ICI and joined on every device (SPMD — the

@@ -219,7 +219,7 @@ def warm(keys: Groth16KeysLM, verbose: bool = False):
     def j_g1x4():
         z = jnp.zeros((4, fr.n, M), jnp.uint32)
         jax.block_until_ready(
-            straus.msm_program(
+            straus.msm_program_chunked(
                 keys.ops1, zlike(keys.g1_X), zlike(keys.g1_Y), z, keys.nwin,
                 keys.wgroup_g1,
             )
@@ -234,7 +234,7 @@ def warm(keys: Groth16KeysLM, verbose: bool = False):
     def j_g2():
         z = jnp.zeros((fr.n, keys.B2g), jnp.uint32)
         jax.block_until_ready(
-            straus.msm_program(
+            straus.msm_program_chunked(
                 keys.ops2, zlike(keys.g2_X), zlike(keys.g2_Y), z, keys.nwin,
                 keys.wgroup_g2,
             )
@@ -328,7 +328,9 @@ def prove(keys: Groth16KeysLM, cs: ConstraintSystem, rng=None, mesh=None) -> "gr
         )
 
     if mesh is None:
-        run_msm = lambda ops, X, Y, z, wg: straus.msm_program(ops, X, Y, z, keys.nwin, wg)
+        run_msm = lambda ops, X, Y, z, wg: straus.msm_program_chunked(
+            ops, X, Y, z, keys.nwin, wg
+        )
         run_bool = straus.bool_msm_program
     else:
         run_msm = lambda ops, X, Y, z, wg: straus.sharded_msm_program(
