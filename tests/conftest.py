@@ -27,4 +27,6 @@ jax.config.update("jax_platforms", "cpu")
 # does not engage in this container, so use the config API directly.
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+# NOTE: "jax_persistent_cache_enable_xla_caches: all" segfaulted inside
+# put_executable_and_time on this box (reproducibly, while serializing one
+# of the MSM executables); the default executable-only cache is stable.
