@@ -236,7 +236,7 @@ def warm(keys: Groth16KeysLM, verbose: bool = False):
         jax.block_until_ready(
             straus.msm_program_chunked(
                 keys.ops2, zlike(keys.g2_X), zlike(keys.g2_Y), z, keys.nwin,
-                keys.wgroup_g2,
+                keys.wgroup_g2, max_lanes=1 << 17,
             )
         )
 
@@ -328,12 +328,12 @@ def prove(keys: Groth16KeysLM, cs: ConstraintSystem, rng=None, mesh=None) -> "gr
         )
 
     if mesh is None:
-        run_msm = lambda ops, X, Y, z, wg: straus.msm_program_chunked(
-            ops, X, Y, z, keys.nwin, wg
+        run_msm = lambda ops, X, Y, z, wg, ml=1 << 18: straus.msm_program_chunked(
+            ops, X, Y, z, keys.nwin, wg, max_lanes=ml
         )
         run_bool = straus.bool_msm_program
     else:
-        run_msm = lambda ops, X, Y, z, wg: straus.sharded_msm_program(
+        run_msm = lambda ops, X, Y, z, wg, ml=None: straus.sharded_msm_program(
             ops, mesh, X, Y, z, keys.nwin, wg
         )
         run_bool = lambda ops, X, Y, m: straus.sharded_bool_msm_program(
@@ -356,7 +356,8 @@ def prove(keys: Groth16KeysLM, cs: ConstraintSystem, rng=None, mesh=None) -> "gr
             for i in range(3)
         )
     with prof.phase("msm_b2"):
-        out2 = run_msm(keys.ops2, keys.g2_X, keys.g2_Y, z2, keys.wgroup_g2)
+        # Fp2 coordinates double the table footprint: halve the G2 chunk
+        out2 = run_msm(keys.ops2, keys.g2_X, keys.g2_Y, z2, keys.wgroup_g2, 1 << 17)
         b2_gen = straus.projective_to_host(None, g2, out2)
         out2b = run_bool(keys.ops2, keys.g2b_X, keys.g2b_Y, b2mask)
         b2_boo = straus.projective_to_host(None, g2, out2b)
