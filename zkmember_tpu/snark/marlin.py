@@ -35,8 +35,11 @@ Zero knowledge: witness-dependent polynomials (w_hat, z_A, z_B and hence
 z) are masked with uniformly random multiples of vanishing polynomials
 before committing (see prove()), hiding both the commitments (uniform
 group elements) and the beta1 evaluations for this protocol's single
-query per polynomial.  This is the vanishing-poly masking form of zk
-Marlin; ark-marlin reaches the same property via hiding KZG randomizers.
+query per polynomial.  Additionally a committed uniformly random mask
+polynomial m(X) (sum_H m = 0) is added into q_1 — the ark-marlin
+mask_poly — because the vanishing masks alone leave g_1 = (q_1 mod v_H)/X
+deterministic in the witness; the verifier receives m(beta1) through the
+batched beta1 opening and adds it to the outer-sumcheck equation.
 """
 
 from __future__ import annotations
@@ -213,7 +216,7 @@ class IndexProverKey:
 @dataclass
 class MarlinProof:
     curve: str
-    comms1: tuple  # (w_hat, z_A, z_B) commitments
+    comms1: tuple  # (w_hat, z_A, z_B, mask) commitments
     comms2: tuple  # (g_1 [bounded], h_1)
     comms3: tuple  # (g_2 [bounded], h_2)
     sigma3: int
@@ -390,7 +393,7 @@ def prove(ipk: IndexProverKey, cs: ConstraintSystem, rng=None) -> MarlinProof:
     # C * (g^{v_H(tau)})^r — uniform in G1 — and each opened evaluation at
     # beta1 is shifted by r * v_H(beta1), hiding the witness evaluations
     # (one query per polynomial = one mask scalar suffices).
-    rng = rng or frng.test_rng()
+    rng = rng or frng.secure_rng()
     r_w, r_a, r_b = (frng.field_element(rng, p) for _ in range(3))
 
     def _add_vh(poly, r):
@@ -406,6 +409,18 @@ def prove(ipk: IndexProverKey, cs: ConstraintSystem, rng=None) -> MarlinProof:
     for i in range(0, n_h - n_x + 1, n_x):  # + r_w * (v_H/v_X)
         w_hat[i] = (w_hat[i] + r_w) % p
 
+    # Committed random mask polynomial (the ark-marlin mask_poly): the
+    # vanishing-poly masks above leave g_1 = (q_1 mod v_H)/X DETERMINISTIC —
+    # every mask term is a multiple of v_H, so the opened g_1(beta1) let an
+    # attacker identify the witness by recompute-and-compare (round-4
+    # advisor finding, severity high).  A uniformly random m(X) of degree
+    # 3|H|-1 with sum_H m = 0, committed in round 1 and added into q_1,
+    # randomizes g_1 and h_1; the verifier gets m(beta1) via the batched
+    # beta1 opening and adds it to the outer-sumcheck equation.
+    mask = [frng.field_element(rng, p) for _ in range(3 * n_h)]
+    mask[0] = (-(mask[n_h] + mask[2 * n_h])) % p  # sum over H = 0
+    c_mask = kzg.commit(pp, mask)
+
     c_w = kzg.commit(pp, hp.trim(w_hat) or [0])
     c_za = kzg.commit(pp, hp.trim(za_hat) or [0])
     c_zb = kzg.commit(pp, hp.trim(zb_hat) or [0])
@@ -414,7 +429,7 @@ def prove(ipk: IndexProverKey, cs: ConstraintSystem, rng=None) -> MarlinProof:
     fw = (p.bit_length() + 7) // 8  # field width: 32B (BLS Fr) / 48B (BW6 Fr)
     for i in range(ni):
         tr.absorb_int(cs.values[i], fw)
-    for c in (c_w, c_za, c_zb):
+    for c in (c_w, c_za, c_zb, c_mask):
         tr.absorb_point(c.c)
     alpha = tr.challenge(p)
     eta = {"A": tr.challenge(p), "B": tr.challenge(p), "C": tr.challenge(p)}
@@ -456,7 +471,9 @@ def prove(ipk: IndexProverKey, cs: ConstraintSystem, rng=None) -> MarlinProof:
             comb, nf0.mont_mul(za_e, zb_e), nf0.ints_to_mont([eta["C"]])[0]
         )
         q1_rows = nf0.sub(nf0.mont_mul(ra_e, comb), nf0.mont_mul(t_e, z_e))
-        q1 = hp.trim(engine.from_rows(engine.intt_rows(q1_rows)))
+        q1 = hp.trim(hp.poly_add(
+            engine.from_rows(engine.intt_rows(q1_rows)), mask, p
+        ))
     else:
         ev = {
             "za": engine.ntt(za_hat, big),
@@ -475,7 +492,7 @@ def prove(ipk: IndexProverKey, cs: ConstraintSystem, rng=None) -> MarlinProof:
             % p
             for i in range(big)
         ]
-        q1 = hp.trim(engine.intt(q1_ev))
+        q1 = hp.trim(hp.poly_add(engine.intt(q1_ev), mask, p))
     h1, rem = hp.divide_by_vanishing(q1, n_h, p)
     rem = hp.trim(rem)
     assert not rem or rem[0] == 0, "outer sumcheck: sum over H != 0"
@@ -538,8 +555,8 @@ def prove(ipk: IndexProverKey, cs: ConstraintSystem, rng=None) -> MarlinProof:
     # _finish_prove, followed by commitments, queries and batched openings.
     proof = _finish_prove(
         ipk, cs, tr, pp, engine, p, spec,
-        (c_w, c_za, c_zb), (c_g1, c_h1),
-        w_hat, za_hat, zb_hat, g1, h1,
+        (c_w, c_za, c_zb, c_mask), (c_g1, c_h1),
+        w_hat, za_hat, zb_hat, mask, g1, h1,
         f_hat, g2, sigma3, alpha, eta, beta1, vv,
     )
     return proof
@@ -552,7 +569,7 @@ def _divide_by_vanishing_exact(f, n, p):
 def _finish_prove(
     ipk, cs, tr, pp, engine, p, spec,
     comms1, comms2,
-    w_hat, za_hat, zb_hat, g1, h1,
+    w_hat, za_hat, zb_hat, mask, g1, h1,
     f_hat, g2, sigma3, alpha, eta, beta1, vv,
 ):
     """Round 3 onward: h_2 on a COSET of the 8K domain (v_K nonzero there),
@@ -639,16 +656,17 @@ def _finish_prove(
             h2_ev[i] = (a_val - b_all * f_big[i]) % p * vk_inv[i % 8] % p
         h2 = hp.trim(coset_intt_host(h2_ev)) or [0]
 
+    fw = (p.bit_length() + 7) // 8  # same width for EVERY field absorb
     c_g2 = kzg.commit(pp, g2, degree_bound=n_k - 2)
     c_h2 = kzg.commit(pp, h2)
-    tr.absorb_int(sigma3, 48)
+    tr.absorb_int(sigma3, fw)
     for c in (c_g2.c, c_g2.shifted, c_h2.c):
         tr.absorb_point(c)
     beta2 = tr.challenge(p)
 
     # --- openings -----------------------------------------------------------
     D = pp.max_degree
-    c_w, c_za, c_zb = comms1
+    c_w, c_za, c_zb, c_mask = comms1
     c_g1, c_h1 = comms2
 
     def shifted_poly(coeffs, bound):
@@ -658,6 +676,7 @@ def _finish_prove(
         ("w_hat", hp.trim(w_hat) or [0], c_w),
         ("z_a", hp.trim(za_hat) or [0], c_za),
         ("z_b", hp.trim(zb_hat) or [0], c_zb),
+        ("mask", hp.trim(mask) or [0], c_mask),
         ("g_1", g1, c_g1),
         ("g_1_shift", shifted_poly(g1, n_h - 2), None),
         ("h_1", hp.trim(h1) or [0], c_h1),
@@ -687,7 +706,7 @@ def _finish_prove(
                 rows_list.append(q if len(coeffs) > 1 else None)
                 evals[name] = nf.mont_to_ints(rem.reshape(1, -1))[0]
             for name in sorted(evals):
-                tr.absorb_int(evals[name], 48)
+                tr.absorb_int(evals[name], fw)
             xi = tr.challenge(p)
             maxlen = max((q.shape[0] for q in rows_list if q is not None), default=1)
             acc = np.zeros((maxlen, nf.nl), "<u8")
@@ -703,7 +722,7 @@ def _finish_prove(
         for name, coeffs, _ in polys:
             evals[name] = hp.poly_eval(coeffs, point, p)
         for name in sorted(evals):
-            tr.absorb_int(evals[name], 48)
+            tr.absorb_int(evals[name], fw)
         xi = tr.challenge(p)
         # combined quotient: sum xi^k (p_k(X) - v_k) / (X - point)
         acc = [0]
@@ -720,7 +739,7 @@ def _finish_prove(
 
     return MarlinProof(
         curve=info.curve,
-        comms1=(c_w, c_za, c_zb),
+        comms1=(c_w, c_za, c_zb, c_mask),
         comms2=(c_g1, c_h1),
         comms3=(c_g2, c_h2),
         sigma3=sigma3,
@@ -746,7 +765,7 @@ def verify(ivk: IndexVerifierKey, public_inputs: list[int], proof: MarlinProof) 
     mod = cfg.mod
     g1c = mod.G1
 
-    c_w, c_za, c_zb = proof.comms1
+    c_w, c_za, c_zb, c_mask = proof.comms1
     c_g1, c_h1 = proof.comms2
     c_g2, c_h2 = proof.comms3
 
@@ -758,14 +777,14 @@ def verify(ivk: IndexVerifierKey, public_inputs: list[int], proof: MarlinProof) 
     fw = (p.bit_length() + 7) // 8
     for v in full_inputs:
         tr.absorb_int(v, fw)
-    for c in (c_w, c_za, c_zb):
+    for c in (c_w, c_za, c_zb, c_mask):
         tr.absorb_point(c.c)
     alpha = tr.challenge(p)
     eta = {"A": tr.challenge(p), "B": tr.challenge(p), "C": tr.challenge(p)}
     for c in (c_g1.c, c_g1.shifted, c_h1.c):
         tr.absorb_point(c)
     beta1 = tr.challenge(p)
-    tr.absorb_int(proof.sigma3, 48)
+    tr.absorb_int(proof.sigma3, fw)
     for c in (c_g2.c, c_g2.shifted, c_h2.c):
         tr.absorb_point(c)
     beta2 = tr.challenge(p)
@@ -773,10 +792,10 @@ def verify(ivk: IndexVerifierKey, public_inputs: list[int], proof: MarlinProof) 
     e1 = proof.evals_beta1
     e2 = proof.evals_beta2
     for name in sorted(e1):
-        tr.absorb_int(e1[name], 48)
+        tr.absorb_int(e1[name], fw)
     xi1 = tr.challenge(p)
     for name in sorted(e2):
-        tr.absorb_int(e2[name], 48)
+        tr.absorb_int(e2[name], fw)
     xi2 = tr.challenge(p)
 
     # --- outer sumcheck equation at beta1 ----------------------------------
@@ -790,7 +809,8 @@ def verify(ivk: IndexVerifierKey, public_inputs: list[int], proof: MarlinProof) 
     r_alpha_beta1 = (v_h_alpha - v_h_beta1) * pow((alpha - beta1) % p, -1, p) % p
     lhs = (e1["h_1"] * v_h_beta1 + beta1 * e1["g_1"]) % p
     rhs = (
-        r_alpha_beta1
+        e1["mask"]
+        + r_alpha_beta1
         * ((eta["A"] * e1["z_a"] + eta["B"] * e1["z_b"]
             + eta["C"] * e1["z_a"] * e1["z_b"]) % p)
         - proof.sigma3 * z_beta1
@@ -841,6 +861,7 @@ def verify(ivk: IndexVerifierKey, public_inputs: list[int], proof: MarlinProof) 
         ("w_hat", c_w.c),
         ("z_a", c_za.c),
         ("z_b", c_zb.c),
+        ("mask", c_mask.c),
         ("g_1", c_g1.c),
         ("g_1_shift", c_g1.shifted),
         ("h_1", c_h1.c),

@@ -8,9 +8,11 @@ pool: XLA compilation releases the GIL (it is an RPC on this backend), so
 the waits overlap and cold start collapses to ~max(single compile).
 
 Every kernel here is invoked with zero/dummy inputs at its canonical tile
-shape — compile results land in both the in-process jit cache and the
-persistent compilation cache (bench.py points that at .jax_cache/, which is
-committed, so CI/driver runs start warm).
+shape — compile results land in the in-process jit cache and (CPU backend
+only) the local persistent compilation cache.  NOTE: on the axon TPU
+backend the persistent cache does NOT hit across processes (verified:
+identical programs recompile in a fresh process), so every TPU run pays
+cold compiles; the parallel warm-up here is what bounds them.
 
 Reference counterpart: none — arkworks compiles ahead of time by virtue of
 being Rust.  This is the TPU-native equivalent of that property.

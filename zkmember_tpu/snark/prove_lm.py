@@ -97,10 +97,17 @@ class Groth16KeysLM:
     Built from the v1 ProvingKey (device- or checkpoint-resident) plus the
     circuit's boolean-variable set."""
 
-    def __init__(self, pk: "groth16.ProvingKey", cs: ConstraintSystem, min_lanes: int = 1):
+    def __init__(self, pk: "groth16.ProvingKey", cs: ConstraintSystem, min_lanes: int = 1,
+                 min_bool_lanes: int = 1, min_g2_lanes: int = 1, min_g2b_lanes: int = 1):
         """min_lanes: pad every lane count to at least this (power of two);
         set to the mesh 'msm' axis size for sharded proving so every plane
-        divides evenly across devices."""
+        divides evenly across devices.
+
+        min_bool_lanes / min_g2_lanes / min_g2b_lanes: pin the Bb / B2g /
+        B2b paddings up to a common power of two so circuits of different
+        sizes share ONE compiled program set per domain size — the grid
+        bench pins them to the grid-wide maxima (remote compiles on the
+        axon backend cost minutes per program, SURVEY.md section 5.8)."""
         self.pk = pk
         cfg = groth16.pairing_config(pk.curve)
         self.cfg = cfg
@@ -141,7 +148,8 @@ class Groth16KeysLM:
         self.gen_cols = [a_gen, b_gen, l_gen + ni]
 
         # -- stacked G1 boolean planes: rows [a, b1, l] ----------------------
-        Bb = max(min_lanes, _next_pow2(max(len(a_bt), len(b_bt), len(l_bt), 1)))
+        Bb = max(min_lanes, min_bool_lanes,
+                 _next_pow2(max(len(a_bt), len(b_bt), len(l_bt), 1)))
         self.Bb = Bb
         abx, aby = _planes(pk.a_query, a_bt)
         bbx, bby = _planes(pk.b_g1_query, b_bt)
@@ -151,8 +159,8 @@ class Groth16KeysLM:
         self.bool_cols = [a_boo, b_boo, l_boo + ni]
 
         # -- G2 (b-query) ----------------------------------------------------
-        B2g = max(min_lanes, _next_pow2(max(len(b_gt), 1)))
-        B2b = max(min_lanes, _next_pow2(max(len(b_bt), 1)))
+        B2g = max(min_lanes, min_g2_lanes, _next_pow2(max(len(b_gt), 1)))
+        B2b = max(min_lanes, min_g2b_lanes, _next_pow2(max(len(b_bt), 1)))
         g2x, g2y = _planes(pk.b_g2_query, b_gt)
         g2bx, g2by = _planes(pk.b_g2_query, b_bt)
 
@@ -167,10 +175,18 @@ class Groth16KeysLM:
         self.b_gen_cols, self.b_bool_cols = b_gen, b_boo
 
         # window-group factors: target ~128k effective lanes in the window
-        # reductions (the mont_mul saturation point); W=64 divides by <=8
+        # reductions (the mont_mul saturation point); W=64 divides by <=8.
+        # Grouping multiplies the scan-body graph size by g, so skip it
+        # below 4k lanes where occupancy is irrelevant (tiny/dryrun shapes
+        # paid 8x the XLA compile time for nothing — round-4 MULTICHIP
+        # timeout).
         def wg(lead_lanes: int) -> int:
             g = 1
-            while g < 8 and lead_lanes * g < (1 << 17) and self.nwin % (g * 2) == 0:
+            while (
+                g < 8
+                and (1 << 12) <= lead_lanes * g < (1 << 17)
+                and self.nwin % (g * 2) == 0
+            ):
                 g *= 2
             return g
 
@@ -268,6 +284,67 @@ def warm(keys: Groth16KeysLM, verbose: bool = False):
         t.join()
 
 
+def warm_sharded(keys: Groth16KeysLM, mesh, verbose: bool = False):
+    """Compile the SHARDED proof programs (mesh 'msm' axis) in parallel
+    threads — the multi-chip counterpart of warm(); used by the driver's
+    dryrun so program compiles overlap instead of serializing inside the
+    first prove."""
+    import sys
+    import threading
+    import time
+
+    import jax
+
+    fr = keys.fr
+    M = keys.M
+
+    def log(msg, t0):
+        if verbose:
+            print(f"# [warm-sh] {msg} in {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+
+    def zlike(c):
+        if isinstance(c, tuple):
+            return tuple(zlike(ci) for ci in c)
+        return jnp.zeros_like(c)
+
+    jobs = [
+        ("g1x4", lambda: jax.block_until_ready(
+            straus.sharded_msm_program(
+                keys.ops1, mesh, zlike(keys.g1_X), zlike(keys.g1_Y),
+                jnp.zeros((4, fr.n, M), jnp.uint32), keys.nwin, keys.wgroup_g1))),
+        ("g1bool", lambda: jax.block_until_ready(
+            straus.sharded_bool_msm_program(
+                keys.ops1, mesh, zlike(keys.g1b_X), zlike(keys.g1b_Y),
+                jnp.zeros((3, keys.Bb), jnp.uint32)))),
+        ("g2", lambda: jax.block_until_ready(
+            straus.sharded_msm_program(
+                keys.ops2, mesh, zlike(keys.g2_X), zlike(keys.g2_Y),
+                jnp.zeros((fr.n, keys.B2g), jnp.uint32), keys.nwin,
+                keys.wgroup_g2))),
+        ("g2bool", lambda: jax.block_until_ready(
+            straus.sharded_bool_msm_program(
+                keys.ops2, mesh, zlike(keys.g2b_X), zlike(keys.g2b_Y),
+                jnp.zeros((keys.B2b,), jnp.uint32)))),
+        ("ntt_h", lambda: jax.block_until_ready(
+            nttlm.groth16_h(keys.domain_lm, *(jnp.zeros((fr.n, M), jnp.uint32),) * 3))),
+    ]
+    threads = []
+    for name, fn in jobs:
+        def run(name=name, fn=fn):
+            t0 = time.time()
+            try:
+                fn()
+                log(f"{name} ready", t0)
+            except Exception as e:  # pragma: no cover
+                print(f"# [warm-sh] {name} FAILED: {e}", file=sys.stderr, flush=True)
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        threads.append(t)
+    for t in threads:
+        t.join()
+
+
 def prove(keys: Groth16KeysLM, cs: ConstraintSystem, rng=None, mesh=None) -> "groth16.Proof":
     """Groth16 prove on the limb-major stack (drop-in for groth16.prove).
 
@@ -340,8 +417,18 @@ def prove(keys: Groth16KeysLM, cs: ConstraintSystem, rng=None, mesh=None) -> "gr
             ops, mesh, X, Y, m
         )
 
-    with prof.phase("msm_g1x4"):
+    # Dispatch EVERY program before the first host readback: jax dispatch is
+    # async, so the device queue pipelines all four MSMs back-to-back while
+    # the readbacks below drain them in order — the round-4 version paid 9
+    # sequential device->host syncs (VERDICT r4 next-step 2b).
+    with prof.phase("msm_dispatch"):
         out4 = run_msm(keys.ops1, keys.g1_X, keys.g1_Y, z4, keys.wgroup_g1)
+        outb = run_bool(keys.ops1, keys.g1b_X, keys.g1b_Y, jnp.asarray(bmask))
+        # Fp2 coordinates double the table footprint: halve the G2 chunk
+        out2 = run_msm(keys.ops2, keys.g2_X, keys.g2_Y, z2, keys.wgroup_g2, 1 << 17)
+        out2b = run_bool(keys.ops2, keys.g2b_X, keys.g2b_Y, b2mask)
+
+    with prof.phase("msm_g1x4"):
         g1_pts = [
             straus.projective_to_host(
                 None, g1, tuple(straus._row(c, i) for c in out4)
@@ -350,16 +437,12 @@ def prove(keys: Groth16KeysLM, cs: ConstraintSystem, rng=None, mesh=None) -> "gr
         ]
         a_gen, b1_gen, l_gen, h_acc = g1_pts
     with prof.phase("msm_g1_bool"):
-        outb = run_bool(keys.ops1, keys.g1b_X, keys.g1b_Y, jnp.asarray(bmask))
         a_boo, b1_boo, l_boo = (
             straus.projective_to_host(None, g1, tuple(straus._row(c, i) for c in outb))
             for i in range(3)
         )
     with prof.phase("msm_b2"):
-        # Fp2 coordinates double the table footprint: halve the G2 chunk
-        out2 = run_msm(keys.ops2, keys.g2_X, keys.g2_Y, z2, keys.wgroup_g2, 1 << 17)
         b2_gen = straus.projective_to_host(None, g2, out2)
-        out2b = run_bool(keys.ops2, keys.g2b_X, keys.g2b_Y, b2mask)
         b2_boo = straus.projective_to_host(None, g2, out2b)
 
     with prof.phase("assemble"):

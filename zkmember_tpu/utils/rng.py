@@ -22,6 +22,15 @@ def test_rng(seed: int = TEST_SEED) -> random.Random:
     return random.Random(seed)
 
 
+def secure_rng() -> random.Random:
+    """OS-entropy RNG — the DEFAULT for proving randomness (Groth16 r/s,
+    Marlin zk masks).  A deterministic default silently voided the hiding
+    property: identical masks across proofs make commitments repeat
+    (round-4 advisor finding).  Tests that need reproducible proofs pass
+    test_rng() explicitly."""
+    return random.SystemRandom()
+
+
 def field_element(rng: random.Random, p: int) -> int:
     """Uniform element of Z_p."""
     return rng.randrange(p)
