@@ -209,6 +209,24 @@ def _ks_add_digits(s, want_carry_out: bool = False):
     sequential-op budget of the whole prover.  Exact because each s_i + 1 <
     2^17, so carries are 0/1 and generate/propagate are well-defined.
     """
+    from zkmember_tpu.fields import lm as _lm
+
+    if _lm._compact_graphs():
+        # sequential ripple scan: ~15 traced ops vs ~240 for Kogge-Stone;
+        # selected on the CPU backend where XLA compile time of the carry
+        # graphs dominates suite/dryrun wall clock (see lm.ks_add_digits)
+        s_t = jnp.moveaxis(s, -1, 0)  # (L, ...)
+        c0 = jnp.zeros(s.shape[:-1], jnp.uint32)
+
+        def body(c, row):
+            t = row + c
+            return t >> LIMB_BITS, t & LIMB_MASK
+
+        cout, rows = lax.scan(body, c0, s_t)
+        out = jnp.moveaxis(rows, 0, -1)
+        if want_carry_out:
+            return out, cout
+        return out
     G = s > LIMB_MASK
     P = s == LIMB_MASK
     Gc, _ = lax.associative_scan(_ks_carry_op, (G, P), axis=-1)

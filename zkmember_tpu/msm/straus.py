@@ -204,17 +204,38 @@ def window_sums(ops, X, Y, z, nwin: int, wgroup: int = 1):
 def horner_join(ops, S):
     """Window sums (coords (W, ..., n, 1), MSW first) -> one point.
 
-    acc = 16*acc + S_w per window (WINDOW_BITS doubles + 1 add each)."""
+    acc = 16*acc + S_w per window.  Implemented as ONE scan whose body is
+    a single complete add: step 5w+k doubles (acc + acc — the RCB complete
+    law is exception-free, so doubling IS addition) for k < 4 and adds
+    S_w for k == 4.  One traced swp_add instead of four unrolled doubles
+    plus an add — the unrolled body was 80k jaxpr ops for Fp2 and set the
+    XLA compile time of every MSM program (round-4 dryrun timeout); the
+    runtime delta is ~W extra single-lane adds, noise next to the window
+    reductions."""
     F = ops.F
+    W = _lanes_leading(S)
     ident = cdv.swp_identity(ops, F.batch_shape(S[0])[1:])
 
-    def body(acc, sw):
-        for _ in range(WINDOW_BITS):
-            acc = cdv.swp_double(ops, acc)
-        return cdv.swp_add(ops, acc, sw), None
+    def body(acc, i):
+        w = i // (WINDOW_BITS + 1)
+        is_add = (i % (WINDOW_BITS + 1)) == WINDOW_BITS
+        sw = tuple(
+            _map_coord(lambda c: lax.dynamic_index_in_dim(c, w, 0, keepdims=False), x)
+            for x in S
+        )
+        other = cdv.swp_select(ops, jnp.broadcast_to(is_add, F.batch_shape(acc[0])), sw, acc)
+        return cdv.swp_add(ops, acc, other), None
 
-    acc, _ = lax.scan(body, ident, S)
+    steps = jnp.arange(W * (WINDOW_BITS + 1))
+    acc, _ = lax.scan(body, ident, steps)
     return acc
+
+
+def _lanes_leading(S):
+    c = S[0]
+    while isinstance(c, tuple):
+        c = c[0]
+    return c.shape[0]
 
 
 def msm_kernel(ops, X, Y, z, nwin: int, wgroup: int = 1):
