@@ -1,0 +1,133 @@
+"""Oracle tests for the fused Pallas select+reduce MSM kernel.
+
+Runs in interpret mode on CPU (conftest pins JAX_PLATFORMS=cpu); the same
+kernel compiles via Mosaic on TPU.  Oracle: host big-int scalar-mul sums
+(curves.host), same as the straus.msm_program tests.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from zkmember_tpu.fields import device as dv, lm
+from zkmember_tpu.curves import bls12_381 as bls, device as cdv
+from zkmember_tpu.msm import straus
+
+
+def _g1_ops():
+    F = lm.FpOpsLM(dv.BLS_FQ)
+    return cdv.sw_ops_for(F, 12, "bls12_381_g1/lm")
+
+
+def _points_scalars(rng, k, sbits=255):
+    pts = [bls.G1.mul(rng.randrange(1, bls.R), bls.G1_GEN) for _ in range(k)]
+    scalars = [rng.randrange(1 << sbits) % bls.R for _ in range(k)]
+    X = lm.to_lm(dv.BLS_FQ.to_mont_host([p[0].v for p in pts]))
+    Y = lm.to_lm(dv.BLS_FQ.to_mont_host([p[1].v for p in pts]))
+    return pts, scalars, X, Y
+
+
+def _host_msm(pts, scalars):
+    want = None
+    for s, p in zip(scalars, pts):
+        t = bls.G1.mul(s, p)
+        want = t if want is None else bls.G1.add(want, t)
+    return want
+
+
+@pytest.mark.parametrize(
+    "nwin,sbits",
+    [
+        (8, 32),
+        pytest.param(
+            64,
+            255,
+            marks=pytest.mark.skipif(
+                not __import__("os").environ.get("RUN_SLOW"),
+                reason="full-width interpret-mode kernel run ~4min; RUN_SLOW=1",
+            ),
+        ),
+    ],
+)
+def test_precomp_msm_matches_host(nwin, sbits):
+    import random
+
+    rng = random.Random(11)
+    ops = _g1_ops()
+    B = 32
+    pts, scalars, X, Y = _points_scalars(rng, B, sbits)
+    z = lm.to_lm(dv.ints_to_limbs(scalars, 16))
+    tab = straus.table_program(ops, X, Y)
+    out = straus.msm_precomp_program(ops, tab, nwin, z)
+    got = straus.projective_to_host(None, bls.G1, out)
+    assert got == _host_msm(pts, scalars)
+
+
+def test_kernel_fp2_swp_add_math():
+    """The kernel's in-kernel Fp2 complete-add math vs the host G2 group
+    law, exercised as plain JAX ops (the pallas interpret path is too slow
+    for Fp2 on the CPU test box; the TPU path is validated end-to-end by
+    the bench proof verifying)."""
+    import random
+
+    from zkmember_tpu.msm import pallas_msm as pm
+
+    rng = random.Random(3)
+    spec = dv.BLS_FQ
+    n = spec.n
+    Pb = jnp.asarray(np.broadcast_to(spec.p_limbs.reshape(n, 1), (n, 1)))
+    NPb = jnp.asarray(np.broadcast_to(spec.nprime_limbs.reshape(n, 1), (n, 1)))
+
+    def to_col(fq2_el):
+        return tuple(
+            jnp.asarray(spec.to_mont_host([c.v]).reshape(n, 1))
+            for c in fq2_el.coeffs
+        )
+
+    def from_col(col):
+        c0 = spec.from_mont_host(lm.from_lm(col[0][None]).reshape(1, n))[0]
+        c1 = spec.from_mont_host(lm.from_lm(col[1][None]).reshape(1, n))[0]
+        return bls.Fq2(bls.Fq(c0), bls.Fq(c1))
+
+    for trial in range(4):
+        a = bls.G2.mul(rng.randrange(1, bls.R), bls.G2_GEN)
+        b = bls.G2.mul(rng.randrange(1, bls.R), bls.G2_GEN)
+        if trial == 2:
+            b = a  # doubling through the complete law
+        P1 = (to_col(a[0]), to_col(a[1]), to_col(bls.Fq2.one()))
+        P2 = (to_col(b[0]), to_col(b[1]), to_col(bls.Fq2.one()))
+        X3, Y3, Z3 = pm._swp_add_fp2(n, (12, 12), P1, P2, Pb, NPb)
+        x3, y3, z3 = from_col(X3), from_col(Y3), from_col(Z3)
+        zi = z3.inv()
+        want = bls.G2.add(a, b)
+        assert (x3 * zi, y3 * zi) == want
+
+
+def test_precomp_msm_leading_rows_and_zero_lanes():
+    """Stacked rows (R=2) + zero-padded lanes select the identity."""
+    import random
+
+    rng = random.Random(5)
+    ops = _g1_ops()
+    B, real = 32, 20
+    pts1, s1, X1, Y1 = _points_scalars(rng, real, 40)
+    pts2, s2, X2, Y2 = _points_scalars(rng, real, 40)
+
+    def pad(c):
+        return np.pad(np.asarray(c), [(0, 0), (0, B - real)])
+
+    X = jnp.stack([jnp.asarray(pad(X1)), jnp.asarray(pad(X2))])
+    Y = jnp.stack([jnp.asarray(pad(Y1)), jnp.asarray(pad(Y2))])
+    z = jnp.stack(
+        [
+            jnp.asarray(pad(lm.to_lm(dv.ints_to_limbs(s1, 16)))),
+            jnp.asarray(pad(lm.to_lm(dv.ints_to_limbs(s2, 16)))),
+        ]
+    )
+    tab = straus.table_program(ops, X, Y)
+    out = straus.msm_precomp_program(ops, tab, 16, z)
+    for i, (pts, ss) in enumerate([(pts1, s1), (pts2, s2)]):
+        got = straus.projective_to_host(
+            None, bls.G1, tuple(straus._row(c, i) for c in out)
+        )
+        assert got == _host_msm(pts, ss)

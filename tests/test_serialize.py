@@ -196,9 +196,19 @@ def test_golden_root_bytes():
     from zkmember_tpu.app.member import generate_members
     from zkmember_tpu.utils import rng as frng
 
+    from datetime import datetime, timezone
+
+    from zkmember_tpu.app.member import Member
+
     cfg = app.get_config("pedersen381")
     leaf_params, node_params = cfg.setup_params(frng.test_rng())
-    ms = generate_members(16)
+    # generate_members stamps join_date = now() (member.rs:152-160), which
+    # makes the root time-dependent; pin the date so the golden is stable.
+    epoch = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    ms = [
+        Member(id=str(i), email=f"{i}@usc.edu", join_date=epoch)
+        for i in range(1, 17)
+    ]
     digests = [m.hash(leaf_params) for m in ms]
     tree = app.new_membership_tree(leaf_params, node_params, digests)
     root_bytes = ser.field_to_bytes(tree.root(), leaf_params.spec.p)

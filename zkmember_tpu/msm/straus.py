@@ -249,6 +249,55 @@ def msm_kernel(ops, X, Y, z, nwin: int, wgroup: int = 1):
     return horner_join(ops, window_sums(ops, X, Y, z, nwin, wgroup))
 
 
+@partial(jax.jit, static_argnums=(0,))
+def table_program(ops, X, Y):
+    """Per-point Straus small-multiple tables as device coord stacks
+    (16, ..., n, B).  Tables depend only on the POINTS — i.e. on the
+    proving key — so callers build them once at key load and amortize the
+    15 complete adds per lane across every proof (straus tables were ~15%
+    of per-proof MSM time, round-5 TPU profile)."""
+    return small_table(ops, cdv.swp_from_affine(ops, X, Y))
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def msm_precomp_program(ops, tab, nwin: int, z):
+    """MSM from PRECOMPUTED tables via the fused Pallas select+reduce
+    kernel (msm.pallas_msm), with the narrow tail reduction + Horner join
+    in XLA.  Single-chip fast path for proof MSMs; requires a base-field
+    curve (Fp2 G2 keeps the composed path) and lanes divisible by the
+    kernel tile."""
+    from zkmember_tpu.msm import pallas_msm
+
+    digits = digits_from_limbs(z, nwin)  # (W, ..., B) MSW first
+    squeeze = digits.ndim == 2  # no leading row axis: lift to R=1
+    if squeeze:
+        digits = digits[:, None]
+        tab = tuple(_map_coord(lambda c: c[:, None], x) for x in tab)
+    fp2 = isinstance(ops.b3, tuple)
+    spec = ops.F.spec.base if fp2 else ops.F.spec
+    S = pallas_msm.select_reduce(spec, ops.b3, tab, digits)
+    if squeeze:
+        S = tuple(_map_coord(lambda c: c[:, 0], x) for x in S)
+    total = tree_reduce_lanes(ops, S)
+    return horner_join(ops, total)
+
+
+def precomp_supported(ops, B: int) -> bool:
+    from zkmember_tpu.msm import pallas_msm
+
+    if not pallas_msm.enabled():
+        return False
+    fp2 = isinstance(ops.b3, tuple)
+    spec = getattr(ops.F, "spec", None)
+    if spec is None:
+        return False
+    if fp2:
+        if spec.nonresidue != spec.base.p - 1:
+            return False  # kernel assumes u^2 = -1
+        spec = spec.base
+    return B % pallas_msm._tile(spec.n, fp2) == 0
+
+
 @partial(jax.jit, static_argnums=(0, 4, 5))
 def msm_program(ops, X, Y, z, nwin: int, wgroup: int = 1):
     """Jitted MSM returning projective coords (host finishes with bignum).

@@ -39,6 +39,7 @@ class UniversalParams:
     beta_h: tuple  # beta G2
     g: tuple  # G1 generator
     powers_lm: tuple | None = None  # lazily-built limb-major (X, Y) planes
+    powers_tab: tuple | None = None  # lazily-built Straus tables (TPU path)
 
 
 @dataclass
@@ -90,6 +91,91 @@ def _powers_lm(pp: UniversalParams):
     return pp.powers_lm
 
 
+_TAB_CHUNK = None  # resolved once from env
+
+
+def _tab_chunk() -> int:
+    global _TAB_CHUNK
+    if _TAB_CHUNK is None:
+        import os
+
+        _TAB_CHUNK = int(os.environ.get("ZKMEMBER_KZG_CHUNK", str(1 << 14)))
+    return _TAB_CHUNK
+
+
+def _powers_tab(pp: UniversalParams):
+    """Straus small-multiple tables over the SRS powers (built once per pp
+    on the TPU path).  The SRS is fixed, so per-commit table builds are
+    pure waste; with tables resident every KZG commit/open is ONE fused
+    Pallas select+reduce call per 2^14-lane chunk (msm.pallas_msm)."""
+    if pp.powers_tab is None:
+        import jax.numpy as jnp
+
+        from zkmember_tpu.msm import straus
+        from zkmember_tpu.snark.prove_lm import _sw_ops_lm
+
+        cfg = pairing_config(pp.curve)
+        ops = _sw_ops_lm(cfg, g2=False)
+        X, Y = _powers_lm(pp)
+        w = _tab_chunk()
+        D1 = X.shape[-1]
+        Dpad = ((D1 + w - 1) // w) * w
+        if Dpad != D1:
+            pad = [(0, 0), (0, Dpad - D1)]
+            X, Y = jnp.pad(X, pad), jnp.pad(Y, pad)
+        pp.powers_tab = straus.table_program(ops, X, Y)
+    return pp.powers_tab
+
+
+def _use_tab(pp: UniversalParams) -> bool:
+    import jax
+
+    from zkmember_tpu.msm import pallas_msm
+
+    if jax.default_backend() != "tpu" or not pallas_msm.enabled():
+        return False
+    import os
+
+    max_lanes = int(os.environ.get("ZKMEMBER_TAB_LANES", str(1 << 19)))
+    return pp.max_degree + 1 <= max_lanes
+
+
+def _msm_powers_tab(pp: UniversalParams, planes: np.ndarray, offset: int):
+    """Chunked fused-kernel MSM over the precomputed SRS tables.
+
+    planes: (n, n16) canonical 16-bit scalar planes.  Chunks align to the
+    fixed _tab_chunk() lane grid so ONE compiled kernel serves every
+    degree/offset (leading grid lanes get zero scalars -> identity)."""
+    import jax.numpy as jnp
+
+    from zkmember_tpu.msm import straus
+    from zkmember_tpu.snark.prove_lm import _sw_ops_lm
+
+    cfg = pairing_config(pp.curve)
+    fr = cfg.fr_spec
+    ops = _sw_ops_lm(cfg, g2=False)
+    nwin = (cfg.r.bit_length() + straus.WINDOW_BITS - 1) // straus.WINDOW_BITS
+    tab = _powers_tab(pp)
+    w = _tab_chunk()
+    curve = cfg.mod.G1
+    n = planes.shape[0]
+    acc = None
+    s = 0
+    while s < n:
+        g = offset + s
+        start = (g // w) * w
+        lead = g - start
+        take = min(n - s, w - lead)
+        zc = np.zeros((fr.n, w), np.uint32)
+        zc[:, lead : lead + take] = planes[s : s + take].T
+        tab_slice = tuple(c[..., start : start + w] for c in tab)
+        out = straus.msm_precomp_program(ops, tab_slice, nwin, jnp.asarray(zc))
+        part = straus.projective_to_host(None, curve, out)
+        acc = part if acc is None else curve.add(acc, part)
+        s += take
+    return acc
+
+
 def _msm_powers(pp: UniversalParams, coeffs, offset: int = 0):
     """sum_i coeffs[i] * beta^(offset+i) G via the limb-major Straus MSM.
 
@@ -114,6 +200,8 @@ def _msm_powers(pp: UniversalParams, coeffs, offset: int = 0):
     n = rows.shape[0]
     assert offset + n <= pp.max_degree + 1
     planes = zknative.u64_to_u16_planes(rows)[:, : fr.n]  # (n, n16)
+    if _use_tab(pp):
+        return _msm_powers_tab(pp, planes, offset)
     ops = _sw_ops_lm(cfg, g2=False)
     nwin = (r.bit_length() + straus.WINDOW_BITS - 1) // straus.WINDOW_BITS
     X, Y = _powers_lm(pp)

@@ -23,6 +23,7 @@ gather or classify on device.  Zero-padded lanes select table entry 0
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from zkmember_tpu.fields import device as dv
@@ -98,7 +99,8 @@ class Groth16KeysLM:
     circuit's boolean-variable set."""
 
     def __init__(self, pk: "groth16.ProvingKey", cs: ConstraintSystem, min_lanes: int = 1,
-                 min_bool_lanes: int = 1, min_g2_lanes: int = 1, min_g2b_lanes: int = 1):
+                 min_bool_lanes: int = 1, min_g2_lanes: int = 1, min_g2b_lanes: int = 1,
+                 precompute: bool = True, merge_bool: bool = True):
         """min_lanes: pad every lane count to at least this (power of two);
         set to the mesh 'msm' axis size for sharded proving so every plane
         divides evenly across devices.
@@ -119,7 +121,13 @@ class Groth16KeysLM:
         M = pk.domain_size
         self.M = M
 
-        boolean = cs.boolean_vars
+        # merge_bool: fold the boolean-scalar witness class into the general
+        # Straus lanes (0/1 scalars select table entries 0/1) instead of
+        # running separate masked-reduction programs.  With the fused
+        # select+reduce kernel the marginal lane cost (~17% of the witness)
+        # is far below the cost of two extra programs: 2 compiles in every
+        # warm-up, 2 extra dispatch+readback rounds per proof.
+        boolean = frozenset() if merge_bool else cs.boolean_vars
         ni = pk.num_instance
 
         def split(nz, to_abs=lambda i: i):
@@ -157,6 +165,7 @@ class Groth16KeysLM:
         self.g1b_X = _stack_pad([abx, bbx, lbx], Bb)
         self.g1b_Y = _stack_pad([aby, bby, lby], Bb)
         self.bool_cols = [a_boo, b_boo, l_boo + ni]
+        self.has_bool = any(len(c) for c in (a_boo, b_boo, l_boo))
 
         # -- G2 (b-query) ----------------------------------------------------
         B2g = max(min_lanes, min_g2_lanes, _next_pow2(max(len(b_gt), 1)))
@@ -192,6 +201,38 @@ class Groth16KeysLM:
 
         self.wgroup_g1 = wg(4 * M)
         self.wgroup_g2 = wg(B2g)
+
+        # -- precomputed Straus tables (single-chip fast path) ---------------
+        # Tables depend only on the key points: build once here, and the
+        # per-proof G1x4 MSM runs as ONE fused Pallas select+reduce kernel
+        # (msm.pallas_msm) instead of ~4M XLA-composed complete adds.
+        # Memory: 48x the point planes (16 entries x 3 projective coords) —
+        # ~300 MB at M=2^14, so gate on a lane budget (chunked giant domains
+        # keep the on-the-fly path).
+        import os
+
+        self.g1_tab = None
+        self.g2_tab = None
+        max_tab_lanes = int(os.environ.get("ZKMEMBER_TAB_LANES", str(1 << 19)))
+        if (
+            precompute
+            and straus.precomp_supported(self.ops1, M)
+            and 4 * M <= max_tab_lanes
+        ):
+            self.g1_tab = straus.table_program(self.ops1, self.g1_X, self.g1_Y)
+        if (
+            precompute
+            and straus.precomp_supported(self.ops2, B2g)
+            and B2g <= max_tab_lanes // 2  # Fp2: 2x the planes per lane
+        ):
+            self.g2_tab = straus.table_program(self.ops2, self.g2_X, self.g2_Y)
+
+
+@jax.jit
+def _pack_program(leaves):
+    """Concatenate device arrays into ONE u32 vector for a single host
+    fetch (each np.asarray on the axon backend costs ~20-60 ms RPC)."""
+    return jnp.concatenate([jnp.ravel(l) for l in leaves])
 
 
 def _z_rows16(cs: ConstraintSystem, fr: dv.FieldSpec) -> np.ndarray:
@@ -234,6 +275,14 @@ def warm(keys: Groth16KeysLM, verbose: bool = False):
 
     def j_g1x4():
         z = jnp.zeros((4, fr.n, M), jnp.uint32)
+        if keys.g1_tab is not None:
+            jax.block_until_ready(
+                straus.msm_precomp_program(
+                    keys.ops1, jax.tree.map(jnp.zeros_like, keys.g1_tab),
+                    keys.nwin, z,
+                )
+            )
+            return
         jax.block_until_ready(
             straus.msm_program_chunked(
                 keys.ops1, zlike(keys.g1_X), zlike(keys.g1_Y), z, keys.nwin,
@@ -249,6 +298,14 @@ def warm(keys: Groth16KeysLM, verbose: bool = False):
 
     def j_g2():
         z = jnp.zeros((fr.n, keys.B2g), jnp.uint32)
+        if keys.g2_tab is not None:
+            jax.block_until_ready(
+                straus.msm_precomp_program(
+                    keys.ops2, jax.tree.map(jnp.zeros_like, keys.g2_tab),
+                    keys.nwin, z,
+                )
+            )
+            return
         jax.block_until_ready(
             straus.msm_program_chunked(
                 keys.ops2, zlike(keys.g2_X), zlike(keys.g2_Y), z, keys.nwin,
@@ -266,7 +323,9 @@ def warm(keys: Groth16KeysLM, verbose: bool = False):
         z = jnp.zeros((fr.n, M), jnp.uint32)
         jax.block_until_ready(nttlm.groth16_h(dlm, z, z, z))
 
-    jobs = [("g1x4", j_g1x4), ("g1bool", j_g1b), ("g2", j_g2), ("g2bool", j_g2b), ("ntt_h", j_ntt)]
+    jobs = [("g1x4", j_g1x4), ("g2", j_g2), ("ntt_h", j_ntt)]
+    if keys.has_bool:
+        jobs += [("g1bool", j_g1b), ("g2bool", j_g2b)]
     threads = []
     for name, fn in jobs:
         def run(name=name, fn=fn):
@@ -312,22 +371,25 @@ def warm_sharded(keys: Groth16KeysLM, mesh, verbose: bool = False):
             straus.sharded_msm_program(
                 keys.ops1, mesh, zlike(keys.g1_X), zlike(keys.g1_Y),
                 jnp.zeros((4, fr.n, M), jnp.uint32), keys.nwin, keys.wgroup_g1))),
-        ("g1bool", lambda: jax.block_until_ready(
-            straus.sharded_bool_msm_program(
-                keys.ops1, mesh, zlike(keys.g1b_X), zlike(keys.g1b_Y),
-                jnp.zeros((3, keys.Bb), jnp.uint32)))),
         ("g2", lambda: jax.block_until_ready(
             straus.sharded_msm_program(
                 keys.ops2, mesh, zlike(keys.g2_X), zlike(keys.g2_Y),
                 jnp.zeros((fr.n, keys.B2g), jnp.uint32), keys.nwin,
                 keys.wgroup_g2))),
-        ("g2bool", lambda: jax.block_until_ready(
-            straus.sharded_bool_msm_program(
-                keys.ops2, mesh, zlike(keys.g2b_X), zlike(keys.g2b_Y),
-                jnp.zeros((keys.B2b,), jnp.uint32)))),
         ("ntt_h", lambda: jax.block_until_ready(
             nttlm.groth16_h(keys.domain_lm, *(jnp.zeros((fr.n, M), jnp.uint32),) * 3))),
     ]
+    if keys.has_bool:
+        jobs += [
+            ("g1bool", lambda: jax.block_until_ready(
+                straus.sharded_bool_msm_program(
+                    keys.ops1, mesh, zlike(keys.g1b_X), zlike(keys.g1b_Y),
+                    jnp.zeros((3, keys.Bb), jnp.uint32)))),
+            ("g2bool", lambda: jax.block_until_ready(
+                straus.sharded_bool_msm_program(
+                    keys.ops2, mesh, zlike(keys.g2b_X), zlike(keys.g2b_Y),
+                    jnp.zeros((keys.B2b,), jnp.uint32)))),
+        ]
     threads = []
     for name, fn in jobs:
         def run(name=name, fn=fn):
@@ -374,6 +436,20 @@ def prove(keys: Groth16KeysLM, cs: ConstraintSystem, rng=None, mesh=None) -> "gr
     M = keys.M
     nf = zknative.NativeField.get(fr.p, fr.n)
 
+    # ZKMEMBER_SYNC_PHASES=1: force a tiny readback after each phase so the
+    # trace attributes time truthfully (async dispatch otherwise piles all
+    # device time into the first readback phase; block_until_ready does not
+    # actually block on the axon backend)
+    sync_phases = os.environ.get("ZKMEMBER_SYNC_PHASES")
+
+    def _sync(x):
+        if sync_phases:
+            import jax as _jax
+
+            for leaf in _jax.tree.leaves(x):
+                np.asarray(leaf[..., :1, :1])
+                break
+
     with prof.phase("matrix_evals"):
         if nf is not None:
             da, db, dc, _ = groth16._matrix_evals_native(cs, M, nf)
@@ -386,6 +462,7 @@ def prove(keys: Groth16KeysLM, cs: ConstraintSystem, rng=None, mesh=None) -> "gr
 
     with prof.phase("h_pipeline"):
         h_limbs = nttlm.groth16_h(keys.domain_lm, da, db, dc)  # (n, M) canonical
+        _sync(h_limbs)
 
     with prof.phase("witness_planes"):
         z16 = _z_rows16(cs, fr)
@@ -393,16 +470,18 @@ def prove(keys: Groth16KeysLM, cs: ConstraintSystem, rng=None, mesh=None) -> "gr
             [_pad_lanes(z16[:, cols], M) for cols in keys.gen_cols]
         )  # (3, nl, M)
         z4 = jnp.concatenate([jnp.asarray(zq), h_limbs[None]], axis=0)
-        bmask = np.stack(
-            [
-                _pad_lanes(z16[0, cols].astype(np.uint32), keys.Bb)
-                for cols in keys.bool_cols
-            ]
-        )  # (3, Bb)
         z2 = jnp.asarray(_pad_lanes(z16[:, keys.b_gen_cols], keys.B2g))
-        b2mask = jnp.asarray(
-            _pad_lanes(z16[0, keys.b_bool_cols].astype(np.uint32), keys.B2b)
-        )
+        if keys.has_bool:
+            bmask = np.stack(
+                [
+                    _pad_lanes(z16[0, cols].astype(np.uint32), keys.Bb)
+                    for cols in keys.bool_cols
+                ]
+            )  # (3, Bb)
+            b2mask = jnp.asarray(
+                _pad_lanes(z16[0, keys.b_bool_cols].astype(np.uint32), keys.B2b)
+            )
+        _sync(z4)
 
     if mesh is None:
         run_msm = lambda ops, X, Y, z, wg, ml=1 << 18: straus.msm_program_chunked(
@@ -422,34 +501,64 @@ def prove(keys: Groth16KeysLM, cs: ConstraintSystem, rng=None, mesh=None) -> "gr
     # the readbacks below drain them in order — the round-4 version paid 9
     # sequential device->host syncs (VERDICT r4 next-step 2b).
     with prof.phase("msm_dispatch"):
-        out4 = run_msm(keys.ops1, keys.g1_X, keys.g1_Y, z4, keys.wgroup_g1)
-        outb = run_bool(keys.ops1, keys.g1b_X, keys.g1b_Y, jnp.asarray(bmask))
+        if mesh is None and keys.g1_tab is not None:
+            out4 = straus.msm_precomp_program(keys.ops1, keys.g1_tab, keys.nwin, z4)
+        else:
+            out4 = run_msm(keys.ops1, keys.g1_X, keys.g1_Y, z4, keys.wgroup_g1)
+        _sync(out4)
+        if keys.has_bool:
+            outb = run_bool(keys.ops1, keys.g1b_X, keys.g1b_Y, jnp.asarray(bmask))
         # Fp2 coordinates double the table footprint: halve the G2 chunk
-        out2 = run_msm(keys.ops2, keys.g2_X, keys.g2_Y, z2, keys.wgroup_g2, 1 << 17)
-        out2b = run_bool(keys.ops2, keys.g2b_X, keys.g2b_Y, b2mask)
+        if mesh is None and keys.g2_tab is not None:
+            out2 = straus.msm_precomp_program(keys.ops2, keys.g2_tab, keys.nwin, z2)
+        else:
+            out2 = run_msm(keys.ops2, keys.g2_X, keys.g2_Y, z2, keys.wgroup_g2, 1 << 17)
+        if keys.has_bool:
+            out2b = run_bool(keys.ops2, keys.g2b_X, keys.g2b_Y, b2mask)
+            _sync(outb)
+            _sync(out2b)
+        _sync(out2)
 
-    with prof.phase("msm_g1x4"):
-        g1_pts = [
-            straus.projective_to_host(
-                None, g1, tuple(straus._row(c, i) for c in out4)
-            )
-            for i in range(4)
+    # ONE device->host fetch for every accumulator: each np.asarray on the
+    # axon backend pays ~20-60 ms of RPC latency, so the previous 27
+    # per-coordinate readbacks cost ~0.8 s of the 2.4 s proof (round-5
+    # synced trace); pack every projective output into a single u32 vector
+    # on device and parse on host.
+    with prof.phase("fetch"):
+        parts = (out4, out2) + ((outb, out2b) if keys.has_bool else ())
+        leaves, treedef = jax.tree.flatten(parts)
+        host = np.asarray(_pack_program(tuple(leaves)))
+    with prof.phase("parse"):
+        sizes = [int(np.prod(l.shape)) for l in leaves]
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+        np_leaves = [
+            host[offs[i] : offs[i + 1]].reshape(tuple(leaves[i].shape))
+            for i in range(len(leaves))
         ]
-        a_gen, b1_gen, l_gen, h_acc = g1_pts
-    with prof.phase("msm_g1_bool"):
-        a_boo, b1_boo, l_boo = (
-            straus.projective_to_host(None, g1, tuple(straus._row(c, i) for c in outb))
-            for i in range(3)
+        unpacked = jax.tree.unflatten(treedef, np_leaves)
+        out4h, out2h = unpacked[0], unpacked[1]
+        a_gen, b1_gen, l_gen, h_acc = (
+            straus.projective_to_host(None, g1, tuple(straus._row(c, i) for c in out4h))
+            for i in range(4)
         )
-    with prof.phase("msm_b2"):
-        b2_gen = straus.projective_to_host(None, g2, out2)
-        b2_boo = straus.projective_to_host(None, g2, out2b)
+        b2_gen = straus.projective_to_host(None, g2, out2h)
+        if keys.has_bool:
+            outbh, out2bh = unpacked[2], unpacked[3]
+            a_boo, b1_boo, l_boo = (
+                straus.projective_to_host(
+                    None, g1, tuple(straus._row(c, i) for c in outbh)
+                )
+                for i in range(3)
+            )
+            b2_boo = straus.projective_to_host(None, g2, out2bh)
+        else:
+            a_boo = b1_boo = l_boo = b2_boo = None
 
     with prof.phase("assemble"):
         a_acc = g1.add(a_gen, a_boo)
         b1_acc = g1.add(b1_gen, b1_boo)
         l_acc = g1.add(l_gen, l_boo)
-        b2_acc = g2.add(b2_gen, b2_boo)
+        b2_acc = g2.add(b2_gen, b2_boo) if b2_boo is not None else b2_gen
         A = g1.add(g1.add(pk.vk.alpha_g1, a_acc), g1.mul(rr, pk.delta_g1))
         B2 = g2.add(g2.add(pk.vk.beta_g2, b2_acc), g2.mul(ss, pk.vk.delta_g2))
         B1 = g1.add(g1.add(pk.beta_g1, b1_acc), g1.mul(ss, pk.delta_g1))
@@ -471,8 +580,7 @@ def prove(keys: Groth16KeysLM, cs: ConstraintSystem, rng=None, mesh=None) -> "gr
             keys.B2g, nl, nbits, fp2=pk.curve == "bls12_381"
         )
         for metric, work, phase in (
-            ("msm_g1x4", g1_work, "msm_g1x4"),
-            ("msm_b2", g2_work, "msm_b2"),
+            ("msm_all", g1_work + g2_work, "msm_dispatch"),
         ):
             if phase in summ:
                 print(
