@@ -32,7 +32,9 @@ def test_groth16_toy_circuit():
     tw.enforce_equal(out, "cube")
     assert cs.is_satisfied()
 
-    pk, vk = groth16.setup(cs, curve="bls12_381", rng=rng)
+    # host=True: ~6 points, host scalar muls are instant; the device
+    # fixed-base setup path is exercised by the TPU grid (bench_harness)
+    pk, vk = groth16.setup(cs, curve="bls12_381", rng=rng, host=True)
     proof = groth16.prove(pk, cs, rng=rng)
     assert groth16.verify(vk, [out_val], proof)
     assert not groth16.verify(vk, [(out_val + 1) % r], proof)

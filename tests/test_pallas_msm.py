@@ -54,7 +54,7 @@ def test_precomp_msm_matches_host(nwin, sbits):
 
     rng = random.Random(11)
     ops = _g1_ops()
-    B = 32
+    B = 16
     pts, scalars, X, Y = _points_scalars(rng, B, sbits)
     z = lm.to_lm(dv.ints_to_limbs(scalars, 16))
     tab = straus.table_program(ops, X, Y)
@@ -103,6 +103,10 @@ def test_kernel_fp2_swp_add_math():
         assert (x3 * zi, y3 * zi) == want
 
 
+@pytest.mark.skipif(
+    not __import__("os").environ.get("RUN_SLOW"),
+    reason="~7min interpret-mode run on the 2-core box; RUN_SLOW=1",
+)
 def test_precomp_msm_leading_rows_and_zero_lanes():
     """Stacked rows (R=2) + zero-padded lanes select the identity."""
     import random

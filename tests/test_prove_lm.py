@@ -203,3 +203,47 @@ def test_membership_16_from_checkpoint():
     proof = prove_lm.prove(keys, cs, rng=rng)
     assert groth16.verify(pk.vk, [tree.root(), digests[idx]], proof)
     assert not groth16.verify(pk.vk, [tree.root(), digests[(idx + 1) % 16]], proof)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    not __import__("os").environ.get("RUN_SLOW"),
+    reason="batched interpret-mode kernel run ~25min on the 2-core box; "
+    "RUN_SLOW=1 (the TPU bench harness --batch mode validates it end-to-end)",
+)
+def test_prove_batch_shared_tables():
+    """prove_batch: P proofs over one key through the batched kernel
+    (interpret mode via a tiny kernel tile); every proof verifies against
+    its own public input."""
+    import os
+
+    os.environ.setdefault("ZKMEMBER_PALLAS_MSM_TILE", "8")
+    from zkmember_tpu.curves import bls12_381 as bls
+    from zkmember_tpu.r1cs import gadgets as g
+    from zkmember_tpu.r1cs.cs import ConstraintSystem
+    from zkmember_tpu.snark import groth16, prove_lm
+    from zkmember_tpu.utils import rng as frng
+
+    def build(wv):
+        cs = ConstraintSystem(bls.Fr)
+        out_val = pow(wv, 3, bls.R)
+        out = g.FpVar.new_input(cs, out_val)
+        w = g.FpVar.new_witness(cs, wv)
+        (w * w * w).enforce_equal(out, "cube")
+        return cs, out_val
+
+    rng = frng.test_rng()
+    cs0, v0 = build(3)
+    pk, vk = groth16.setup(cs0, curve="bls12_381", rng=rng, host=True)
+    keys = prove_lm.Groth16KeysLM(pk, cs0, min_g2_lanes=8)
+    if keys.g1_tab is None or keys.g2_tab is None:
+        import pytest
+
+        pytest.skip("precomp tables unsupported at this shape")
+    cs1, v1 = build(5)
+    proofs = prove_lm.prove_batch(keys, [cs0, cs1], rng=rng)
+    assert groth16.verify(vk, [v0], proofs[0])
+    assert groth16.verify(vk, [v1], proofs[1])
+    assert not groth16.verify(vk, [v0], proofs[1])

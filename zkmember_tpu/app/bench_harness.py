@@ -143,6 +143,66 @@ def bench_groth16(stack: str, sizes, reps: int = 5, out=print, checkpoint_dir=No
         assert ok
 
 
+def bench_groth16_batch(stack: str, n_members: int, batch: int, reps: int = 3,
+                        out=print, checkpoint_dir=None):
+    """Batched proving throughput (proofs/sec) — BASELINE.json's north-star
+    metric.  `batch` independent members of ONE registrar prove through a
+    single batched kernel invocation per MSM family (prove_lm.prove_batch,
+    dp axis); all proofs share the proving key and its Straus tables."""
+    import os
+
+    from zkmember_tpu.snark import prove_lm
+    from zkmember_tpu.utils import checkpoint
+
+    curve = "bls12_381" if stack == "pedersen381" else "bw6_761"
+    rng = frng.test_rng()
+    cfg = app.get_config(stack)
+    leaf_params, node_params = cfg.setup_params(rng)
+    members = generate_members(n_members)
+    digests = Member.hash_batch(leaf_params, members)
+    tree = app.new_membership_tree(leaf_params, node_params, digests)
+    idxs = [random.Random(i).randrange(n_members) for i in range(batch)]
+    built = []
+    for idx in idxs:
+        circuit = app.MerkleTreeCircuit(
+            config=cfg,
+            leaf_params=leaf_params,
+            node_params=node_params,
+            root=tree.root(),
+            leaf_hash=digests[idx],
+            authentication_path=tree.generate_proof(idx),
+        )
+        built.append((circuit.generate_constraints(), digests[idx]))
+    cs0 = built[0][0]
+    ck = os.path.join(checkpoint_dir, f"groth16_{curve}_{n_members}") if checkpoint_dir else None
+    if ck and os.path.exists(ck + ".json"):
+        pk = checkpoint.load_groth16_keys(ck, device=False)
+        vk = pk.vk
+    else:
+        pk, vk = groth16.setup(cs0, curve=curve, rng=rng)
+        if ck:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            checkpoint.save_groth16_keys(ck, pk)
+    keys = prove_lm.Groth16KeysLM(pk, cs0)
+    assert keys.g1_tab is not None and keys.g2_tab is not None, (
+        "batch mode needs the precomputed-table TPU path"
+    )
+    cs_list = [cs for cs, _ in built]
+    proofs = prove_lm.prove_batch(keys, cs_list, rng=rng)  # warm-up/compile
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        proofs = prove_lm.prove_batch(keys, cs_list, rng=rng)
+        times.append(time.time() - t0)
+    best = min(times)
+    for (cs, leaf), proof in zip(built, proofs):
+        assert groth16.verify(vk, [tree.root(), leaf], proof)
+    out(_row(curve, "groth16_batch", "prove", n_members, best, cs0,
+             ok=True,
+             stats={"batch": batch, "proofs_per_sec": round(batch / best, 3),
+                    "median": round(_median(times), 4), "reps": reps}))
+
+
 def bench_marlin(stack: str, sizes, universal: bool = False, reps: int = 3, out=print):
     curve = "bls12_381" if stack == "pedersen381" else "bw6_761"
     rng = frng.test_rng()
@@ -222,8 +282,15 @@ def main(argv=None):
     ap.add_argument("--universal", action="store_true")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--batch", type=int, default=0,
+                    help="batched-proving throughput mode: prove this many "
+                    "members of one registrar via prove_batch (proofs/sec)")
     args = ap.parse_args(argv)
     sizes = [int(s) for s in args.sizes.split(",")]
+    if args.batch:
+        bench_groth16_batch(args.stack, sizes[0], args.batch, reps=args.reps,
+                            checkpoint_dir=args.checkpoint_dir)
+        return 0
     for system in args.systems.split(","):
         if system == "groth16":
             bench_groth16(args.stack, sizes, reps=args.reps,

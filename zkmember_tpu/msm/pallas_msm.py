@@ -258,7 +258,7 @@ def _kernel(n: int, W: int, b3, tile: int, fp2: bool, *refs):
         for x in P:
             flat.extend(x if isinstance(x, tuple) else [x])
         for ref, val in zip(out_refs, flat):
-            ref[w, 0, 0] = val
+            ref[w, 0, 0, 0] = val
         return 0
 
     lax.fori_loop(0, W, window, 0)
@@ -279,6 +279,10 @@ def select_reduce(spec: FieldSpec, b3, tab, digits,
     fp2 = isinstance(tab[0], tuple)
     planes = [c for coord in tab for c in (coord if fp2 else (coord,))]
     _, R, n, B = planes[0].shape
+    batched = digits.ndim == 4  # (W, P, R, B): P proofs sharing the tables
+    P = digits.shape[1] if batched else 1
+    if not batched:
+        digits = digits[:, None]
     if digits.shape[0] % 8:
         # pad to a Mosaic-friendly window count with leading zero windows
         # (MSW first: identity selections, absorbed by the Horner join)
@@ -292,22 +296,27 @@ def select_reduce(spec: FieldSpec, b3, tab, digits,
     NT = B // tb
     p_col = jnp.asarray(spec.p_limbs.reshape(n, 1))
     np_col = jnp.asarray(spec.nprime_limbs.reshape(n, 1))
-    dig_flat = digits.reshape(W, R * B)  # trailing-dim blocks for Mosaic
+    dig_flat = digits.reshape(W, P * R * B)  # trailing-dim blocks for Mosaic
 
-    out = jax.ShapeDtypeStruct((W, R, NT, n, OUT_PAD), jnp.uint32)
-    coord_spec = pl.BlockSpec((16, 1, n, tb), lambda r, t: (0, r, 0, t),
+    out = jax.ShapeDtypeStruct((W, P, R, NT, n, OUT_PAD), jnp.uint32)
+    coord_spec = pl.BlockSpec((16, 1, n, tb), lambda p, r, t: (0, r, 0, t),
                               memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((W, 1, 1, n, OUT_PAD), lambda r, t: (0, r, t, 0, 0),
-                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (W, 1, 1, 1, n, OUT_PAD), lambda p, r, t: (0, p, r, t, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     outs = pl.pallas_call(
         functools.partial(_kernel, n, W, b3, tb, fp2),
         out_shape=tuple(out for _ in planes),
-        grid=(R, NT),
+        grid=(P, R, NT),
         in_specs=[coord_spec] * len(planes) + [
-            pl.BlockSpec((W, tb), lambda r, t, NT=NT: (0, r * NT + t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), lambda r, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), lambda r, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (W, tb),
+                lambda p, r, t, R=R, NT=NT: (0, (p * R + r) * NT + t),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((n, 1), lambda p, r, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda p, r, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(out_spec for _ in planes),
         compiler_params=pltpu.CompilerParams(
@@ -316,11 +325,12 @@ def select_reduce(spec: FieldSpec, b3, tab, digits,
         interpret=jax.default_backend() != "tpu",
     )(*planes, dig_flat, p_col, np_col)
 
-    # (W, R, NT, n, OUT_PAD) -> live lane 0 of each tile: (W, R, n, NT)
+    # (W, P, R, NT, n, OUT_PAD) -> live lane 0 of each tile: (W[, P], R, n, NT)
     def live(s):
-        s = s[..., :1]  # (W, R, NT, n, 1)
-        s = jnp.moveaxis(s, 2, 3)  # (W, R, n, NT, 1)
-        return s.reshape(W, R, n, NT)
+        s = s[..., :1]  # (W, P, R, NT, n, 1)
+        s = jnp.moveaxis(s, 3, 4)  # (W, P, R, n, NT, 1)
+        s = s.reshape(W, P, R, n, NT)
+        return s if batched else s[:, 0]
 
     if fp2:
         return tuple(

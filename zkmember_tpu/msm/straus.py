@@ -282,6 +282,28 @@ def msm_precomp_program(ops, tab, nwin: int, z):
     return horner_join(ops, total)
 
 
+@partial(jax.jit, static_argnums=(0, 2))
+def msm_precomp_batch(ops, tab, nwin: int, z):
+    """Batched-proof MSM over SHARED precomputed tables (the dp axis of
+    BASELINE's proofs/sec metric): z is (P, R, nl, B) — or (P, nl, B) for
+    single-row queries — with P independent proofs' scalars against the
+    same key points.  Returns projective coords with leading (P, R)."""
+    from zkmember_tpu.msm import pallas_msm
+
+    digits = digits_from_limbs(z, nwin)  # (W, P[, R], B)
+    squeeze = digits.ndim == 3
+    if squeeze:
+        digits = digits[:, :, None]  # (W, P, 1, B)
+        tab = tuple(_map_coord(lambda c: c[:, None], x) for x in tab)
+    fp2 = isinstance(ops.b3, tuple)
+    spec = ops.F.spec.base if fp2 else ops.F.spec
+    S = pallas_msm.select_reduce(spec, ops.b3, tab, digits)
+    if squeeze:
+        S = tuple(_map_coord(lambda c: c[:, :, 0], x) for x in S)
+    total = tree_reduce_lanes(ops, S)
+    return horner_join(ops, total)
+
+
 def precomp_supported(ops, B: int) -> bool:
     from zkmember_tpu.msm import pallas_msm
 

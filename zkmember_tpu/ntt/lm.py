@@ -92,14 +92,18 @@ def ntt(spec: FieldSpec, x, twiddles, perm):
 
 @partial(jax.jit, static_argnums=(0,))
 def h_pipeline(spec: FieldSpec, abc, tw_inv, tw_fwd, perm, coset_fwd, coset_inv, size_inv, zh_inv):
-    """Stacked Groth16 H: abc (3, n, N) mont evals -> (n, N) canonical
-    coefficients of (A*B - C) / Z_H on the coset."""
+    """Stacked Groth16 H: abc (..., 3, n, N) mont evals -> (..., n, N)
+    canonical coefficients of (A*B - C) / Z_H on the coset (extra leading
+    axes batch independent proofs)."""
     x = _fft_core(spec, abc, tw_inv, perm)  # iNTT (unscaled)
     x = lm.mont_mul(spec, x, size_inv)  # 1/N
     x = lm.mont_mul(spec, x, coset_fwd)  # scale by g^i
     x = _fft_core(spec, x, tw_fwd, perm)  # coset evals
-    ab = lm.mont_mul(spec, x[0], x[1])
-    hh = lm.sub(spec, ab, x[2])
+    xa = jnp.take(x, 0, axis=-3)
+    xb = jnp.take(x, 1, axis=-3)
+    xc = jnp.take(x, 2, axis=-3)
+    ab = lm.mont_mul(spec, xa, xb)
+    hh = lm.sub(spec, ab, xc)
     hh = lm.mont_mul(spec, hh, zh_inv)
     hh = _fft_core(spec, hh, tw_inv, perm)
     hh = lm.mont_mul(spec, hh, coset_inv)  # g^-i / N
@@ -112,6 +116,22 @@ def groth16_h(dlm: DomainLM, da, db, dc):
     return h_pipeline(
         dlm.spec,
         abc,
+        dlm.tw_inv,
+        dlm.tw_fwd,
+        dlm.perm,
+        dlm.coset_fwd,
+        dlm.coset_inv,
+        dlm.size_inv,
+        dlm.zh_coset_inv,
+    )
+
+
+def groth16_h_batch(dlm: DomainLM, dabc):
+    """dabc: (P, 3, n, N) Montgomery planes -> (P, n, N) canonical H limbs
+    for P independent proofs in ONE program (the dp batch axis)."""
+    return h_pipeline(
+        dlm.spec,
+        dabc,
         dlm.tw_inv,
         dlm.tw_fwd,
         dlm.perm,

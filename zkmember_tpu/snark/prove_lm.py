@@ -407,6 +407,97 @@ def warm_sharded(keys: Groth16KeysLM, mesh, verbose: bool = False):
         t.join()
 
 
+def prove_batch(keys: Groth16KeysLM, cs_list, rng=None):
+    """P independent proofs over the SAME proving key through ONE batched
+    kernel invocation per MSM family — the dp (data-parallel) axis of
+    BASELINE's proofs/sec metric.  Requires precomputed tables (single-chip
+    TPU fast path) and merged boolean lanes; use prove() otherwise.
+
+    The batched select+reduce kernel reads the shared Straus tables once
+    per tile per proof from HBM (~µs) while every proof's windows run at
+    full VPU occupancy, so marginal cost per proof is the pure window work
+    — fixed overheads (dispatch, fori prologues, narrow tails, host
+    readback RPC) amortize across the batch."""
+    from zkmember_tpu import native as zknative
+
+    assert keys.g1_tab is not None and keys.g2_tab is not None, (
+        "prove_batch needs precomputed tables (TPU path)"
+    )
+    assert not keys.has_bool, "prove_batch requires merge_bool keys"
+    pk = keys.pk
+    cfg = keys.cfg
+    r_mod = cfg.r
+    g1, g2 = cfg.mod.G1, cfg.mod.G2
+    rng = rng or frng.secure_rng()
+    fr = keys.fr
+    M = keys.M
+    P = len(cs_list)
+    nf = zknative.NativeField.get(fr.p, fr.n)
+    randomizers = [
+        (frng.field_element(rng, r_mod), frng.field_element(rng, r_mod))
+        for _ in range(P)
+    ]
+
+    dabc = []
+    zqs, z2s = [], []
+    for cs in cs_list:
+        if nf is not None:
+            da, db, dc, _ = groth16._matrix_evals_native(cs, M, nf)
+            rows = [np.asarray(lm.to_lm(x)) for x in (da, db, dc)]
+        else:
+            a_ev, b_ev, c_ev = groth16._matrix_evals(cs, M)
+            rows = [
+                np.asarray(lm.to_lm(fr.to_mont_host(v)))
+                for v in (a_ev, b_ev, c_ev)
+            ]
+        dabc.append(np.stack(rows))
+        z16 = _z_rows16(cs, fr)
+        zqs.append(np.stack([_pad_lanes(z16[:, cols], M) for cols in keys.gen_cols]))
+        z2s.append(_pad_lanes(z16[:, keys.b_gen_cols], keys.B2g))
+
+    h_limbs = nttlm.groth16_h_batch(keys.domain_lm, jnp.asarray(np.stack(dabc)))
+    z4 = jnp.concatenate(
+        [jnp.asarray(np.stack(zqs)), h_limbs[:, None]], axis=1
+    )  # (P, 4, nl, M)
+    z2 = jnp.asarray(np.stack(z2s))  # (P, nl, B2g)
+
+    out4 = straus.msm_precomp_batch(keys.ops1, keys.g1_tab, keys.nwin, z4)
+    out2 = straus.msm_precomp_batch(keys.ops2, keys.g2_tab, keys.nwin, z2)
+
+    leaves, treedef = jax.tree.flatten((out4, out2))
+    host = np.asarray(_pack_program(tuple(leaves)))
+    sizes = [int(np.prod(l.shape)) for l in leaves]
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    np_leaves = [
+        host[offs[i] : offs[i + 1]].reshape(tuple(leaves[i].shape))
+        for i in range(len(leaves))
+    ]
+    out4h, out2h = jax.tree.unflatten(treedef, np_leaves)
+
+    proofs = []
+    for p in range(P):
+        a_gen, b1_gen, l_gen, h_acc = (
+            straus.projective_to_host(
+                None, g1,
+                tuple(straus._row(straus._row(c, p), i) for c in out4h),
+            )
+            for i in range(4)
+        )
+        b2_acc = straus.projective_to_host(
+            None, g2, tuple(straus._row(c, p) for c in out2h)
+        )
+        rr, ss = randomizers[p]
+        A = g1.add(g1.add(pk.vk.alpha_g1, a_gen), g1.mul(rr, pk.delta_g1))
+        B2 = g2.add(g2.add(pk.vk.beta_g2, b2_acc), g2.mul(ss, pk.vk.delta_g2))
+        B1 = g1.add(g1.add(pk.beta_g1, b1_gen), g1.mul(ss, pk.delta_g1))
+        C = g1.add(l_gen, h_acc)
+        C = g1.add(C, g1.mul(ss, A))
+        C = g1.add(C, g1.mul(rr, B1))
+        C = g1.add(C, g1.mul((-rr * ss) % r_mod, pk.delta_g1))
+        proofs.append(groth16.Proof(curve=pk.curve, a=A, b=B2, c=C))
+    return proofs
+
+
 def prove(keys: Groth16KeysLM, cs: ConstraintSystem, rng=None, mesh=None) -> "groth16.Proof":
     """Groth16 prove on the limb-major stack (drop-in for groth16.prove).
 
@@ -429,7 +520,9 @@ def prove(keys: Groth16KeysLM, cs: ConstraintSystem, rng=None, mesh=None) -> "gr
     cfg = keys.cfg
     r_mod = cfg.r
     g1, g2 = cfg.mod.G1, cfg.mod.G2
-    rng = rng or frng.test_rng()
+    # default to OS entropy for the proof randomizers r, s: a deterministic
+    # default silently voids zero-knowledge across proofs (round-4 advisor)
+    rng = rng or frng.secure_rng()
     rr = frng.field_element(rng, r_mod)
     ss = frng.field_element(rng, r_mod)
     fr = keys.fr
