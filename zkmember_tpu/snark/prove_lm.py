@@ -211,21 +211,52 @@ class Groth16KeysLM:
         # keep the on-the-fly path).
         import os
 
-        self.g1_tab = None
-        self.g2_tab = None
+        self._g1_tab = None
+        self._g2_tab = None
         max_tab_lanes = int(os.environ.get("ZKMEMBER_TAB_LANES", str(1 << 19)))
-        if (
+        self._want_g1_tab = (
             precompute
             and straus.precomp_supported(self.ops1, M)
             and 4 * M <= max_tab_lanes
-        ):
-            self.g1_tab = straus.table_program(self.ops1, self.g1_X, self.g1_Y)
-        if (
+        )
+        self._want_g2_tab = (
             precompute
             and straus.precomp_supported(self.ops2, B2g)
             and B2g <= max_tab_lanes // 2  # Fp2: 2x the planes per lane
-        ):
-            self.g2_tab = straus.table_program(self.ops2, self.g2_X, self.g2_Y)
+        )
+
+    def build_tables(self):
+        """Build the precomputed Straus tables (compile + one execution);
+        called from warm()'s thread pool so the table-program compile
+        overlaps the proof-program compiles instead of blocking key
+        construction."""
+        if self._want_g1_tab and self._g1_tab is None:
+            self._g1_tab = straus.table_program(self.ops1, self.g1_X, self.g1_Y)
+        if self._want_g2_tab and self._g2_tab is None:
+            self._g2_tab = straus.table_program(self.ops2, self.g2_X, self.g2_Y)
+
+    @property
+    def g1_tab(self):
+        if self._want_g1_tab and self._g1_tab is None:
+            self._g1_tab = straus.table_program(self.ops1, self.g1_X, self.g1_Y)
+        return self._g1_tab
+
+    @property
+    def g2_tab(self):
+        if self._want_g2_tab and self._g2_tab is None:
+            self._g2_tab = straus.table_program(self.ops2, self.g2_X, self.g2_Y)
+        return self._g2_tab
+
+    def _tab_zeros(self, g2: bool = False):
+        """Zero arrays with the table shapes (for warm-up compiles)."""
+
+        def z(c):
+            if isinstance(c, tuple):
+                return tuple(z(ci) for ci in c)
+            return jnp.zeros((16,) + c.shape, jnp.uint32)
+
+        X, Y = (self.g2_X, self.g2_Y) if g2 else (self.g1_X, self.g1_Y)
+        return (z(X), z(Y), z(X))
 
 
 @jax.jit
@@ -275,11 +306,10 @@ def warm(keys: Groth16KeysLM, verbose: bool = False):
 
     def j_g1x4():
         z = jnp.zeros((4, fr.n, M), jnp.uint32)
-        if keys.g1_tab is not None:
+        if keys._want_g1_tab:
             jax.block_until_ready(
                 straus.msm_precomp_program(
-                    keys.ops1, jax.tree.map(jnp.zeros_like, keys.g1_tab),
-                    keys.nwin, z,
+                    keys.ops1, keys._tab_zeros(), keys.nwin, z,
                 )
             )
             return
@@ -298,11 +328,10 @@ def warm(keys: Groth16KeysLM, verbose: bool = False):
 
     def j_g2():
         z = jnp.zeros((fr.n, keys.B2g), jnp.uint32)
-        if keys.g2_tab is not None:
+        if keys._want_g2_tab:
             jax.block_until_ready(
                 straus.msm_precomp_program(
-                    keys.ops2, jax.tree.map(jnp.zeros_like, keys.g2_tab),
-                    keys.nwin, z,
+                    keys.ops2, keys._tab_zeros(g2=True), keys.nwin, z,
                 )
             )
             return
@@ -323,7 +352,8 @@ def warm(keys: Groth16KeysLM, verbose: bool = False):
         z = jnp.zeros((fr.n, M), jnp.uint32)
         jax.block_until_ready(nttlm.groth16_h(dlm, z, z, z))
 
-    jobs = [("g1x4", j_g1x4), ("g2", j_g2), ("ntt_h", j_ntt)]
+    jobs = [("g1x4", j_g1x4), ("g2", j_g2), ("ntt_h", j_ntt),
+            ("tables", keys.build_tables)]
     if keys.has_bool:
         jobs += [("g1bool", j_g1b), ("g2bool", j_g2b)]
     threads = []

@@ -51,9 +51,15 @@ def save_groth16_keys(path: str, pk: "groth16.ProvingKey"):
         _points_to_npz(name, getattr(pk, name), store)
     np.savez_compressed(path + ".npz", **store)
 
+    import hashlib
+
+    with open(path + ".npz", "rb") as f:
+        npz_sha = hashlib.sha256(f.read()).hexdigest()
+
     cfg = groth16.pairing_config(pk.curve)
     g1, g2 = cfg.mod.G1, cfg.mod.G2
     meta = {
+        "npz_sha256": npz_sha,
         "curve": pk.curve,
         "domain_size": pk.domain_size,
         "num_instance": pk.num_instance,
@@ -77,6 +83,18 @@ def load_groth16_keys(path: str, device: bool = True) -> "groth16.ProvingKey":
     curve = meta["curve"]
     cfg = groth16.pairing_config(curve)
     g1 = cfg.mod.G1
+    if "npz_sha256" in meta:
+        # integrity gate: the bench loads checkpointed keys blindly, so
+        # corrupted/stale plane bytes must fail loudly (round-4 advisor)
+        import hashlib
+
+        with open(path + ".npz", "rb") as f:
+            got = hashlib.sha256(f.read()).hexdigest()
+        if got != meta["npz_sha256"]:
+            raise ValueError(
+                f"checkpoint {path}.npz does not match its recorded sha256; "
+                "delete the artifact and regenerate"
+            )
     data = np.load(path + ".npz")
     vk = ser.vk_from_bytes(curve, bytes.fromhex(meta["vk"]))
 
